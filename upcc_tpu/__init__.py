@@ -1,0 +1,29 @@
+"""upcc_tpu — TPU-native unified point-cloud compression framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+ikt-luh/Unified-Point-Cloud-Compression (learned joint geometry+attribute
+point-cloud codec with continuous multimodal rate control, arXiv:2408.00599).
+
+Design pillars (TPU-first, not a port):
+  * Sparse voxel tensors are flat, statically-shaped arrays of sorted Morton
+    keys with validity sentinels — no dynamic shapes under jit, canonical
+    point order by construction (replaces the reference's ``Sorted*`` layer
+    family, /root/reference/model/entropy_models.py:28-126).
+  * Sparse convolutions are gather-GEMM-accumulate over kernel offsets, with
+    the GEMMs on the MXU; coordinate bookkeeping is integer vector math plus
+    binary search in sorted key arrays.
+  * The entropy models (factorized bottleneck + mean-scale Gaussian
+    conditional) are pure JAX; the rANS coder is native C++ driven by
+    device-computed CDF indexes.
+  * Multi-device scaling is jax.sharding over a Mesh (data-parallel cubes in
+    training, block-parallel encode at inference) — new capability, the
+    reference is single-GPU (SURVEY.md §5.8).
+"""
+
+import jax
+
+# The whole framework keys sparse voxels by 63-bit Morton codes (int64).
+# This must be enabled before any key math is traced.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

@@ -1,0 +1,209 @@
+"""Variable-rate mean-scale hyperprior over sparse latents.
+
+Parity target: the reference's ``MeanScaleHyperprior``
+(/root/reference/model/entropy_models.py:128-490):
+  * h_a: 3^3 conv + LeakyReLU + two stride-2 3^3 convs (y stride 8 -> z 32);
+  * h_s: two stride-2 kernel-2 generative transposed convs + 3^3 conv
+    producing (scales, means) read out at the y coordinates;
+  * adaptive gain units: scale_nn / rescale_nn map q=(q_g,q_a) to
+    per-channel gains (Softplus MLPs), quant_nn predicts
+    quantization-reconstruction offsets from (gain, stddev) pairs
+    (Kamisli et al., DCC 2024);
+  * factorized bottleneck for z, conditional Gaussian for y.
+
+TPU-native notes: coordinates never leave the device — z coords are
+``morton >> 6`` of y's, h_s expands children twice and evaluates its last
+conv directly at the y coordinates (no dense candidate materialization, no
+coordinate re-sorting: flat key arrays are canonically sorted already, which
+is what the reference's Sorted* wrappers existed to enforce).
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops import coords
+from ...ops.sparse import SparseTensor, downsample_keys, upsample_children_keys
+from ..bound import lower_bound, quantize_ste
+from ..layers import MLP, SparseConv, leaky_relu_st
+from . import gaussian
+from .bottleneck import FactorizedBottleneck
+
+EPS = 1e-4
+
+
+class MeanScaleHyperprior(nn.Module):
+    C_bottleneck: int = 128
+    C_hyper_bottleneck: int = 192
+    quantization_mode: str = "ste"  # 'ste' | 'uniform'
+    inverse_rescaling: bool = True
+    quantization_offset: bool = True
+    adaptive_BN: bool = True
+    max_batch: int = 8
+    # static capacities relative to y.capacity: (z stride-16, z stride-32,
+    # h_s stride-16 children, h_s stride-8 children)
+    cap_factors: Sequence[float] = (1.0, 0.5, 2.0, 4.0)
+
+    def setup(self):
+        C, Ch = self.C_bottleneck, self.C_hyper_bottleneck
+        self.ha1 = SparseConv(C, Ch, 3, "same", name="ha1")
+        self.ha2 = SparseConv(Ch, Ch, 3, "down", name="ha2")
+        self.ha3 = SparseConv(Ch, Ch, 3, "down", name="ha3")
+        self.hs1 = SparseConv(Ch, Ch, 2, "up", name="hs1")
+        self.hs2 = SparseConv(Ch, C * 3 // 2, 2, "up", name="hs2")
+        self.hs3 = SparseConv(C * 3 // 2, C * 2, 3, "same", name="hs3")
+        self.bottleneck = FactorizedBottleneck(Ch, name="bottleneck")
+        self.scale_nn = MLP((8, C // 4, C), final_softplus=True, name="scale_nn")
+        self.rescale_nn = MLP((8, C // 4, C), final_softplus=True, name="rescale_nn")
+        self.quant_nn = MLP((10, 10, 1), name="quant_nn")
+
+    # ---- shared sub-graphs -------------------------------------------------
+
+    def h_a(self, y: SparseTensor):
+        caps = [int(f * y.capacity) for f in self.cap_factors[:2]]
+        t = self.ha1(y)
+        t = leaky_relu_st(t)
+        d1 = downsample_keys(t.keys, caps[0])
+        t = self.ha2(t, d1, t.stride * 2)
+        t = leaky_relu_st(t)
+        d2 = downsample_keys(t.keys, caps[1])
+        t = self.ha3(t, d2, t.stride * 2)
+        return t
+
+    def h_s_params_at(self, z_hat: SparseTensor, y_keys):
+        """Gaussian params (scales, means) evaluated at the y coordinates."""
+        cap_mid = int(self.cap_factors[2] * y_keys.shape[0])
+        cap_top = int(self.cap_factors[3] * y_keys.shape[0])
+        k1 = upsample_children_keys(z_hat.keys)[:cap_mid]
+        t = self.hs1(z_hat, k1, z_hat.stride // 2)
+        t = leaky_relu_st(t)
+        k2 = upsample_children_keys(t.keys)[:cap_top]
+        t = self.hs2(t, k2, t.stride // 2)
+        t = leaky_relu_st(t)
+        out = self.hs3(t, y_keys, t.stride)
+        scales, means = jnp.split(out.feats, 2, axis=1)
+        return scales, means
+
+    def gains(self, q, y_batch, y_valid):
+        """Per-point (scale, rescale) gain vectors from quality q [B, 2]."""
+        C = self.C_bottleneck
+        if not self.adaptive_BN:
+            ones = jnp.ones((y_batch.shape[0], C), jnp.float32)
+            return ones, ones
+        scale_b = self.scale_nn(q.astype(jnp.float32)) + EPS  # [B, C]
+        b = jnp.clip(y_batch, 0, q.shape[0] - 1)
+        scale = scale_b[b]
+        if self.inverse_rescaling:
+            rescale = 1.0 / jax.lax.stop_gradient(scale)
+        else:
+            rescale_b = 1.0 / (self.rescale_nn(q.astype(jnp.float32)) + EPS)
+            rescale = rescale_b[b]
+        m = y_valid[:, None].astype(jnp.float32)
+        return scale * m + (1 - m), rescale * m + (1 - m)
+
+    def offsets(self, stddev, scale):
+        """Quantization-reconstruction offsets from (gain, stddev) pairs
+        (reference get_offsets, entropy_models.py:218-233)."""
+        inp = jnp.stack([scale, stddev], axis=-1)  # [N, C, 2]
+        return self.quant_nn(inp)[..., 0]
+
+    # ---- training forward --------------------------------------------------
+
+    def __call__(self, y: SparseTensor, q, training=True):
+        z = self.h_a(y)
+        z_valid = z.valid
+        mode = self.quantization_mode if training else "round"
+        rng = self.make_rng("noise") if training else None
+        if mode == "uniform":
+            z_hat_f, z_lik = self.bottleneck(z.feats, "noise", rng)
+        else:
+            z_hat_f, z_lik = self.bottleneck(z.feats, "ste" if training else "round", rng)
+        z_hat_f = z_hat_f * z_valid[:, None]
+        z_lik = jnp.where(z_valid[:, None], z_lik, 1.0)
+        z_hat = z.replace(feats=z_hat_f)
+
+        scales_hat, means_hat = self.h_s_params_at(z_hat, y.keys)
+        y_valid = y.valid
+        scale, rescale = self.gains(q, y.batch, y_valid)
+
+        y_lik = gaussian.likelihood(y.feats * scale, scales_hat * scale,
+                                    means=means_hat * scale)
+        y_lik = jnp.where(y_valid[:, None], y_lik, 1.0)
+
+        if self.quantization_offset:
+            tmp = scale * (y.feats - means_hat)
+            signs = jax.lax.stop_gradient(jnp.sign(tmp))
+            if mode == "uniform":
+                y_q_abs = gaussian.quantize_noise(jnp.abs(tmp), self.make_rng("noise"))
+            else:
+                y_q_abs = quantize_ste(jnp.abs(tmp))
+            stdev = lower_bound(scales_hat * scale, gaussian.SCALE_MIN)
+            offs = -self.offsets(stdev, jax.lax.stop_gradient(scale))
+            offs = jnp.where(y_q_abs < EPS, 0.0, offs)
+            y_hat_f = signs * (y_q_abs + offs)
+            y_hat_f = y_hat_f * rescale + means_hat
+        else:
+            if mode == "uniform":
+                y_hat_f = gaussian.quantize_noise(y.feats * scale, self.make_rng("noise"))
+            elif training:
+                y_hat_f = quantize_ste(y.feats * scale - means_hat * scale) + means_hat * scale
+            else:
+                y_hat_f = jnp.round(y.feats * scale - means_hat * scale) + means_hat * scale
+            y_hat_f = y_hat_f * rescale
+
+        y_hat_f = y_hat_f * y_valid[:, None]
+        y_hat = y.replace(feats=y_hat_f)
+        return y_hat, (y_lik, z_lik)
+
+    # ---- coding-side device graphs (wrapped by codec.py on the host) -------
+
+    def encode_device(self, y: SparseTensor, q):
+        """Everything the encoder needs before/around host rANS calls:
+        z analysis + symbols, simulated z_hat, Gaussian params and symbols."""
+        z = self.h_a(y)
+        med = self.bottleneck.medians()
+        z_sym = jnp.round(z.feats - med[None, :]) * z.valid[:, None]
+        z_hat = z.replace(feats=(z_sym + med[None, :]) * z.valid[:, None])
+
+        scales_hat, means_hat = self.h_s_params_at(z_hat, y.keys)
+        scale, _ = self.gains(q, y.batch, y.valid)
+        indexes = gaussian.build_indexes(scales_hat * scale)
+        y_sym = jnp.round(y.feats * scale - means_hat * scale).astype(jnp.int32)
+        y_sym = y_sym * y.valid[:, None]
+        return {"z_keys": z.keys, "z_sym": z_sym.astype(jnp.int32),
+                "y_indexes": indexes, "y_sym": y_sym,
+                "y_valid": y.valid, "z_valid": z.valid}
+
+    def decode_params_device(self, y_keys, z_sym, q, z_keys):
+        """Decoder graph after z symbols are entropy-decoded: reconstruct
+        z_hat, run h_s, and return everything needed to decode/dequantize y."""
+        med = self.bottleneck.medians()
+        z_valid = z_keys != jnp.iinfo(jnp.int64).max
+        z_hat = SparseTensor(keys=z_keys,
+                             feats=(z_sym.astype(jnp.float32) + med[None, :])
+                             * z_valid[:, None],
+                             stride=32)
+        scales_hat, means_hat = self.h_s_params_at(z_hat, y_keys)
+        y_valid = y_keys != jnp.iinfo(jnp.int64).max
+        y_batch = (y_keys >> coords.BATCH_SHIFT).astype(jnp.int32)
+        scale, rescale = self.gains(q, y_batch, y_valid)
+        indexes = gaussian.build_indexes(scales_hat * scale)
+        return {"indexes": indexes, "scales_hat": scales_hat,
+                "means_hat": means_hat, "scale": scale, "rescale": rescale,
+                "y_valid": y_valid}
+
+    def dequantize_y_device(self, y_sym, dec):
+        """Turn decoded integer y symbols into y_hat features."""
+        q_val = y_sym.astype(jnp.float32)
+        if self.quantization_offset:
+            q_abs, signs = jnp.abs(q_val), jnp.sign(q_val)
+            stdev = lower_bound(dec["scales_hat"] * dec["scale"], gaussian.SCALE_MIN)
+            offs = -self.offsets(stdev, dec["scale"])
+            offs = jnp.where(q_abs < EPS, 0.0, offs)
+            y_hat = signs * (q_abs + offs)
+            y_hat = y_hat * dec["rescale"] + dec["means_hat"]
+        else:
+            y_hat = (q_val + dec["means_hat"] * dec["scale"]) * dec["rescale"]
+        return y_hat * dec["y_valid"][:, None]

@@ -1,0 +1,95 @@
+"""UnifiedModel: single-model joint geometry+attribute codec.
+
+Parity target: /root/reference/model/model.py:15-250.  The training forward
+builds occupancy+color features, runs g_a -> hyperprior -> g_s and returns
+everything the loss needs.  The streaming compress/decompress orchestration
+(blocks, bitstream container, coordinate codec, rANS) lives in
+``upcc_tpu.codec`` — host code around the jitted device graphs exposed here.
+"""
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.sparse import SparseTensor, downsample_keys
+from .entropy.hyperprior import MeanScaleHyperprior
+from .transforms import AnalysisTransform, SparseSynthesisTransform
+
+
+def occupancy_color_features(x: SparseTensor):
+    """[1, R, G, B] features: constant occupancy + colors
+    (reference model.py:66-67)."""
+    occ = x.valid[:, None].astype(x.feats.dtype)
+    return x.replace(feats=jnp.concatenate([occ, x.feats], axis=1))
+
+
+class UnifiedModel(nn.Module):
+    config: Dict[str, Any]
+
+    def setup(self):
+        cfg = self.config
+        mb = cfg.get("max_batch", 8)
+        ga = dict(cfg["g_a"])
+        gs = dict(cfg["g_s"])
+        em = dict(cfg["entropy_model"])
+        em.pop("type", None)
+        em.pop("entropy_bottleneck_vbr", None)
+        self.g_a = AnalysisTransform(max_batch=mb, **ga)
+        self.g_s = SparseSynthesisTransform(max_batch=mb, **gs)
+        self.entropy_model = MeanScaleHyperprior(max_batch=mb, **em)
+
+    def __call__(self, x: SparseTensor, q, Lambda, training=True):
+        """x: input cloud (stride 1, colors in [0,1] as feats). q: [B,2].
+
+        Returns the dict the loss consumes (reference model.py:82-88):
+          prediction: reconstructed SparseTensor (colors at stride 1)
+          gt_pyramid: GT key sets per upsampling level (stride 4, 2, 1)
+          candidates/occ_logits: per-level candidate sets + logits
+          q_map: Lambda [B, 2]
+          likelihoods: {'y': [Ny,C], 'z': [Nz,Ch]}
+        """
+        xin = occupancy_color_features(x)
+        y, k = self.g_a(xin)
+        y_hat, (lik_y, lik_z) = self.entropy_model(y, q, training=training)
+        x_hat, candidates, occ_logits = self.g_s(y_hat, k)
+
+        # GT pyramid: stride-2 key downsamples of the input (the reference
+        # derives these with an aux conv whose features are unused,
+        # transforms.py:219-221 / model.py:227-230)
+        p1 = downsample_keys(x.keys)
+        p2 = downsample_keys(p1)
+        gt_pyramid = [p2, p1, x.keys]
+
+        return {
+            "prediction": x_hat,
+            "gt_pyramid": gt_pyramid,
+            "candidates": candidates,
+            "occ_logits": occ_logits,
+            "q_map": Lambda,
+            "likelihoods": {"y": lik_y, "z": lik_z},
+            "k": k,
+        }
+
+    # device graphs used by the streaming codec (jitted by codec.py)
+    def encode_device(self, x: SparseTensor, q):
+        xin = occupancy_color_features(x)
+        y, k = self.g_a(xin)
+        enc = self.entropy_model.encode_device(y, q)
+        enc["k"] = k
+        enc["y_keys"] = y.keys
+        return enc
+
+    def decode_params_device(self, y_keys, z_sym, q, z_keys):
+        return self.entropy_model.decode_params_device(y_keys, z_sym, q, z_keys)
+
+    def decode_synthesis_device(self, y_keys, y_hat_feats, k):
+        y_hat = SparseTensor(keys=y_keys, feats=y_hat_feats, stride=8)
+        x_hat, _, _ = self.g_s(y_hat, k)
+        return x_hat
+
+    def dequantize_y_device(self, y_sym, dec):
+        return self.entropy_model.dequantize_y_device(y_sym, dec)
+
+    def aux_loss(self):
+        return self.entropy_model.bottleneck.aux_loss()

@@ -1,0 +1,181 @@
+"""Statically-shaped sparse voxel tensor and set operations.
+
+``SparseTensor`` is the TPU-native replacement for ``ME.SparseTensor``
+(/root/reference/model/transforms.py and friends): a fixed-capacity, sorted,
+sentinel-padded flat array of Morton keys plus a feature matrix.  All ops are
+jit-safe (static shapes, no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from . import coords as C
+
+
+@flax.struct.dataclass
+class SparseTensor:
+    """Sorted sparse voxel tensor.
+
+    keys:   int64[N]   sorted ascending; SENTINEL marks padding slots.
+    feats:  f32[N, Cf] zeros at padding slots.
+    stride: static int tensor stride (coords = units * stride).
+    """
+
+    keys: jax.Array
+    feats: jax.Array
+    stride: int = flax.struct.field(pytree_node=False, default=1)
+
+    @property
+    def capacity(self):
+        return self.keys.shape[0]
+
+    @property
+    def num_channels(self):
+        return self.feats.shape[-1]
+
+    @property
+    def valid(self):
+        return C.key_is_valid(self.keys)
+
+    @property
+    def batch(self):
+        return C.key_batch(self.keys)
+
+    @property
+    def units(self):
+        return C.key_units(self.keys)
+
+    def coordinates(self):
+        """int32 [N, 4] (batch, x, y, z) in raw (stride-scaled) coordinates."""
+        b = jnp.where(self.valid, self.batch, -1)
+        xyz = self.units * self.stride
+        return jnp.concatenate([b[:, None], xyz], axis=1)
+
+    def count(self):
+        """Total number of valid points (traced scalar)."""
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+    def counts_per_batch(self, max_batch):
+        """int32[max_batch] valid point count per batch index.
+
+        Replaces the per-batch python loop in the reference
+        (/root/reference/model/transforms.py:47-64) with one segment-sum."""
+        b = jnp.where(self.valid, self.batch, max_batch)
+        return jnp.bincount(b, length=max_batch + 1)[:max_batch]
+
+    def mask_feats(self):
+        return self.feats * self.valid[:, None].astype(self.feats.dtype)
+
+
+def _sort_by_keys(keys, feats):
+    order = jnp.argsort(keys)
+    return keys[order], feats[order]
+
+
+def from_points(batch, xyz, feats, capacity, stride=1, dedup=True):
+    """Build a SparseTensor from (batch[N], xyz[N,3] int, feats[N,C]).
+
+    Quantizes coordinates to the given stride, sorts into canonical Morton
+    order and optionally drops duplicate voxels (first occurrence wins),
+    mirroring ``ME.utils.sparse_quantize`` (/root/reference/train.py:204).
+    Rows where batch < 0 are treated as padding.
+    """
+    n = xyz.shape[0]
+    units = (xyz.astype(jnp.int32) // stride).astype(jnp.int32)
+    ok = batch >= 0
+    keys = jnp.where(ok, C.make_keys(jnp.maximum(batch, 0), units), C.SENTINEL)
+    if n < capacity:
+        keys = jnp.concatenate([keys, jnp.full((capacity - n,), C.SENTINEL, keys.dtype)])
+        feats = jnp.concatenate([feats, jnp.zeros((capacity - n, feats.shape[1]), feats.dtype)])
+    keys, feats = _sort_by_keys(keys, feats)
+    keys = keys[:capacity]
+    feats = feats[:capacity]
+    if dedup:
+        dup = jnp.concatenate([jnp.array([False]), keys[1:] == keys[:-1]])
+        dup = dup & C.key_is_valid(keys)
+        keys = jnp.where(dup, C.SENTINEL, keys)
+        feats = jnp.where(dup[:, None], 0.0, feats)
+        keys, feats = _sort_by_keys(keys, feats)
+    valid = C.key_is_valid(keys)
+    feats = feats * valid[:, None].astype(feats.dtype)
+    return SparseTensor(keys=keys, feats=feats, stride=stride)
+
+
+def lookup(st: SparseTensor, query_keys):
+    """Find query keys in st. Returns (idx int32[N], found bool[N]).
+
+    idx is clipped to a valid gather index even when not found."""
+    idx = jnp.searchsorted(st.keys, query_keys).astype(jnp.int32)
+    idx = jnp.minimum(idx, st.capacity - 1)
+    found = (st.keys[idx] == query_keys) & C.key_is_valid(query_keys)
+    return idx, found
+
+
+def features_at(st: SparseTensor, query_keys):
+    """Gather features of st at query keys (zeros where absent).
+
+    TPU-native ``features_at_coordinates``
+    (/root/reference/model/entropy_models.py:294)."""
+    idx, found = lookup(st, query_keys)
+    return st.feats[idx] * found[:, None].astype(st.feats.dtype)
+
+
+def downsample_keys(keys, capacity=None):
+    """Parent keys at 2x stride: morton >> 3, dedup. Input keys sorted.
+
+    Output keys remain sorted (monotone map + dedup keeps order)."""
+    capacity = capacity or keys.shape[0]
+    bbits = keys & ~((jnp.int64(1) << C.BATCH_SHIFT) - 1)
+    parent = bbits | ((keys & ((jnp.int64(1) << C.BATCH_SHIFT) - 1)) >> 3)
+    parent = jnp.where(C.key_is_valid(keys), parent, C.SENTINEL)
+    dup = jnp.concatenate([jnp.array([False]), parent[1:] == parent[:-1]])
+    parent = jnp.where(dup & C.key_is_valid(parent), C.SENTINEL, parent)
+    parent = jnp.sort(parent)
+    return parent[:capacity]
+
+
+def upsample_children_keys(keys):
+    """All 8 children at half stride: morton << 3 | c.
+
+    Children of sorted parents are sorted globally — no re-sort needed.
+    Returns int64[8N]."""
+    bbits = keys & ~((jnp.int64(1) << C.BATCH_SHIFT) - 1)
+    m = keys & ((jnp.int64(1) << C.BATCH_SHIFT) - 1)
+    child = (bbits[:, None]) | ((m[:, None] << 3) | jnp.arange(8, dtype=jnp.int64)[None, :])
+    child = jnp.where(C.key_is_valid(keys)[:, None], child, C.SENTINEL)
+    return child.reshape(-1)
+
+
+def expand_region_keys(keys, region_offsets, capacity):
+    """Generative expansion: candidates = {2*u + d : d in region}, dedup.
+
+    ``region_offsets`` is a static numpy [K,3] array (e.g. kernel_offsets(5)
+    for the reference's kernel-5 generative transposed conv coordinate
+    generation, /root/reference/model/transforms.py:129).  Output sorted,
+    clipped to ``capacity`` (callers must size capacity to cover the real
+    point count — check with count())."""
+    cands = []
+    for d in region_offsets:
+        nk, _ = C.shift_units(keys, tuple(int(v) for v in d), scale=2)
+        cands.append(nk)
+    cand = jnp.stack(cands, axis=1).reshape(-1)
+    cand = jnp.sort(cand)
+    dup = jnp.concatenate([jnp.array([False]), cand[1:] == cand[:-1]])
+    cand = jnp.where(dup & C.key_is_valid(cand), C.SENTINEL, cand)
+    cand = jnp.sort(cand)
+    return cand[:capacity]
+
+
+def with_feats(st: SparseTensor, feats, stride=None):
+    return SparseTensor(keys=st.keys, feats=feats, stride=stride or st.stride)
+
+
+def concat(tensors, capacity):
+    """Concatenate sparse tensors (same stride/channels) into one sorted tensor."""
+    keys = jnp.concatenate([t.keys for t in tensors])
+    feats = jnp.concatenate([t.feats for t in tensors])
+    keys, feats = _sort_by_keys(keys, feats)
+    return SparseTensor(keys=keys[:capacity], feats=feats[:capacity], stride=tensors[0].stride)
