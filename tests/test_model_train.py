@@ -1,0 +1,112 @@
+"""End-to-end model forward + training smoke tests on synthetic cubes."""
+
+import numpy as np
+import pytest
+
+import upcc_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from upcc_tpu.data.q_func import QFunc
+from upcc_tpu.data.synthetic import batch_of_cubes
+from upcc_tpu.models.unified import UnifiedModel
+from upcc_tpu.ops.sparse import from_points
+from upcc_tpu.training.loss import Loss
+from upcc_tpu.training.train_step import TrainState, make_optimizer, make_train_step
+
+CFG = {
+    "max_batch": 2,
+    "g_a": {"C_in": 4, "N1": 16, "N2": 16, "N3": 16, "N4": 16},
+    "g_s": {"C_out": 3, "N1": 16, "N2": 16, "N3": 16, "N4": 16},
+    "entropy_model": {
+        "C_bottleneck": 16, "C_hyper_bottleneck": 24,
+        "quantization_mode": "ste", "inverse_rescaling": True,
+        "quantization_offset": True,
+    },
+}
+
+LOSS_CFG = {
+    "focal": {"type": "Multiscale_FocalLoss", "alpha": 0.5, "gamma": 2.0},
+    "color": {"type": "ColorLoss", "loss": "L2"},
+    "bpp-y": {"type": "BPPLoss", "key": "y", "weight": 1.0},
+    "bpp-z": {"type": "BPPLoss", "key": "z", "weight": 1.0},
+}
+
+QMAP_CFG = {"lambda_A_min": 0, "lambda_A_max": 12800,
+            "lambda_G_min": 0, "lambda_G_max": 200, "mode": "quadratic"}
+
+CAP = 2048
+
+
+def make_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    b, x, c = batch_of_cubes(rng, 2, extent=32, n_per=700, capacity=CAP)
+    return from_points(jnp.asarray(b), jnp.asarray(x), jnp.asarray(c), capacity=CAP)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = UnifiedModel(CFG)
+    x = make_batch()
+    q = jnp.full((2, 2), 0.5, jnp.float32)
+    lam = jnp.full((2, 2), 1.0, jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x, q, lam)["params"]
+    return model, params, x, q, lam
+
+
+def test_forward_shapes(model_and_params):
+    model, params, x, q, lam = model_and_params
+    out = jax.jit(lambda p, x: model.apply(
+        {"params": p}, x, q, lam, rngs={"noise": jax.random.PRNGKey(2)}))(params, x)
+    pred = out["prediction"]
+    assert pred.feats.shape[1] == 3
+    # k counts match the GT pyramid counts
+    k = np.asarray(out["k"])
+    for lvl in range(3):
+        gt_keys = np.asarray(out["gt_pyramid"][lvl])
+        n_gt = (gt_keys != np.iinfo(np.int64).max).sum()
+        assert k[lvl].sum() == n_gt
+    # final reconstruction has exactly k[2] points (pruned to GT count)
+    assert int(np.asarray(pred.valid).sum()) == int(k[2].sum())
+    lik = out["likelihoods"]
+    assert np.isfinite(np.asarray(lik["y"])).all()
+    assert (np.asarray(lik["y"]) > 0).all()
+
+
+def test_train_loss_decreases(model_and_params):
+    model, params, x, q, lam = model_and_params
+    loss_obj = Loss(LOSS_CFG, max_batch=2)
+    optimizer = make_optimizer({"model_learning_rate": 1e-3,
+                                "bottleneck_learning_rate": 1e-3,
+                                "clip_grad_norm": 1.0})
+    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(model, loss_obj, optimizer))
+
+    # fixed q so step losses are comparable (training draws random q per
+    # step, which makes the raw loss scale vary by orders of magnitude)
+    qf = QFunc(QMAP_CFG)
+    qv = jnp.full((2, 2), 0.5, jnp.float32)
+    lamv = qf.scale_q_vals(qv)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(20):
+        rng, r2 = jax.random.split(rng)
+        state, metrics = step(state, x, qv, lamv, r2)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), f"no decrease: {losses}"
+
+
+def test_qfunc_modes():
+    qf = QFunc(QMAP_CFG)
+    q, lam = qf.sample(jax.random.PRNGKey(0), 4)
+    assert q.shape == (4, 2) and lam.shape == (4, 2)
+    assert np.allclose(np.asarray(q[0]), np.asarray(q[3]))  # one scalar per step
+    lam0 = np.asarray(qf.scale_q_vals(jnp.zeros((1, 2))))
+    lam1 = np.asarray(qf.scale_q_vals(jnp.ones((1, 2))))
+    assert np.allclose(lam0, [[0, 0]])
+    assert np.allclose(lam1, [[200, 12800]])
+    qe = QFunc({**QMAP_CFG, "mode": "exponential"})
+    le1 = np.asarray(qe.scale_q_vals(jnp.ones((1, 2))))
+    assert np.allclose(le1, [[199, 12799]])
