@@ -1,0 +1,124 @@
+"""Full compress -> decompress roundtrip correctness (untrained weights)."""
+
+import numpy as np
+import pytest
+
+import upcc_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from upcc_tpu.codec import Codec
+from upcc_tpu.data.synthetic import surface_cloud
+from upcc_tpu.models.unified import UnifiedModel
+
+CFG = {
+    "max_batch": 8,
+    "g_a": {"C_in": 4, "N1": 16, "N2": 16, "N3": 16, "N4": 16},
+    "g_s": {"C_out": 3, "N1": 16, "N2": 16, "N3": 16, "N4": 16},
+    "entropy_model": {
+        "C_bottleneck": 16, "C_hyper_bottleneck": 24,
+        "quantization_mode": "ste", "inverse_rescaling": True,
+        "quantization_offset": True,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def codec():
+    from upcc_tpu.ops.sparse import from_points
+    model = UnifiedModel(CFG)
+    rng = np.random.default_rng(0)
+    xyz, rgb = surface_cloud(rng, extent=32, n_target=600)
+    b = np.zeros(xyz.shape[0], np.int32)
+    st = from_points(jnp.asarray(b), jnp.asarray(xyz), jnp.asarray(rgb), capacity=1024)
+    q = jnp.full((1, 2), 0.5, jnp.float32)
+    lam = jnp.ones((1, 2), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, st, q, lam)["params"]
+    c = Codec(model, params)
+    c.update()
+    return c
+
+
+def test_roundtrip_single_block(codec):
+    rng = np.random.default_rng(1)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=1500)
+    pc = np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+    data = codec.compress(pc, q=(0.5, 0.5), block_size=128)
+    assert isinstance(data, bytes) and len(data) > 0
+    out = codec.decompress(data)
+    assert out.shape[1] == 6
+    # voxel count preserved exactly (k is transmitted)
+    n_unique = len(np.unique(xyz, axis=0))
+    assert out.shape[0] == n_unique
+    # colors are on the 8-bit grid and finite
+    assert np.isfinite(out).all()
+    cc = out[:, 3:] * 255.0
+    assert np.allclose(cc, np.round(cc), atol=1e-4)
+    # geometry within the original bounding box
+    assert out[:, :3].min() >= 0 and out[:, :3].max() <= 64
+
+
+def test_roundtrip_multi_block(codec):
+    rng = np.random.default_rng(2)
+    xyz1, rgb1 = surface_cloud(rng, extent=64, n_target=800)
+    xyz2, rgb2 = surface_cloud(rng, extent=64, n_target=800)
+    xyz2 = xyz2 + np.array([[128, 0, 0]], np.int32)  # second block
+    pc = np.concatenate([
+        np.concatenate([xyz1.astype(np.float32), rgb1], axis=1),
+        np.concatenate([xyz2.astype(np.float32), rgb2], axis=1)])
+    data = codec.compress(pc, q=(0.3, 0.7), block_size=128)
+    out = codec.decompress(data)
+    n_unique = len(np.unique(xyz1, axis=0)) + len(np.unique(xyz2, axis=0))
+    assert out.shape[0] == n_unique
+    # both blocks present
+    assert (out[:, 0] >= 128).any() and (out[:, 0] < 128).any()
+
+
+def test_bitstream_container_roundtrip():
+    from upcc_tpu.codec import bitstream
+    blocks = [{"origin": (0, -8, 16), "levels": 5, "n_y": 10, "n_z": 3,
+               "q": (0.25, 0.75), "k": [3, 7, 10],
+               "coord_bytes": b"abc", "y_bytes": b"defg", "z_bytes": b"z"}]
+    data = bitstream.write_container(None, blocks, scaling_factor=2.0)
+    back, sf = bitstream.read_container(data)
+    assert sf == 2.0 and len(back) == 1
+    b = back[0]
+    assert b["origin"] == (0, -8, 16) and b["levels"] == 5
+    assert b["coord_bytes"] == b"abc" and b["y_bytes"] == b"defg"
+    assert b["k"] == [3, 7, 10]
+    assert abs(b["q"][0] - 0.25) < 1e-6
+
+
+def test_encoder_decoder_bit_exact(codec):
+    """The decoder must recover the exact symbols, entropy parameters and
+    coordinates the encoder produced — the invariant the reference's whole
+    Sorted*/canonical-sort machinery exists to protect (SURVEY.md §4)."""
+    rng = np.random.default_rng(3)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=1200)
+    pc = np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+    codec.debug = True
+    codec.debug_info = []
+    data = codec.compress(pc, q=(0.42, 0.87), block_size=128)
+    codec.decompress(data)
+    codec.debug = False
+    enc = [d for d in codec.debug_info if d["side"] == "enc"]
+    dec = [d for d in codec.debug_info if d["side"] == "dec"]
+    assert len(enc) == len(dec) >= 1
+    for e, d in zip(enc, dec):
+        np.testing.assert_array_equal(e["y_keys"], d["y_keys"])
+        np.testing.assert_array_equal(e["z_sym"], d["z_sym"])
+        np.testing.assert_array_equal(e["y_idx"], d["y_idx"])
+        np.testing.assert_array_equal(e["y_sym"], d["y_sym"])
+        np.testing.assert_array_equal(e["scales"], d["scales"])  # bit-exact
+        np.testing.assert_array_equal(e["means"], d["means"])
+
+
+def test_decompress_deterministic(codec):
+    rng = np.random.default_rng(4)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=900)
+    pc = np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+    data = codec.compress(pc, q=(0.9, 0.1), block_size=128)
+    out1 = codec.decompress(data)
+    out2 = codec.decompress(data)
+    np.testing.assert_array_equal(out1, out2)

@@ -1,0 +1,68 @@
+"""Multi-block bitstream container.
+
+Same information content as the reference's container
+(/root/reference/model/model.py:253-385): per block a header with the hyper
+shape, quality pair, stream lengths and per-level point counts k, followed by
+the coordinate bitstream and the two rANS payloads.  Byte-aligned struct
+packing instead of the reference's O(n) bit-string concatenation
+(model.py:307-308).
+"""
+
+import struct
+
+MAGIC = b"UPCC"
+VERSION = 2
+
+
+def write_container(path_or_none, blocks, scaling_factor=1.0):
+    """blocks: list of dicts with keys
+    origin (3 ints), levels, n_y, n_z, q (2 floats), k (3 ints),
+    coord_bytes, y_bytes, z_bytes.  Returns bytes if path is None."""
+    out = bytearray()
+    out += MAGIC
+    out += struct.pack("<BfI", VERSION, scaling_factor, len(blocks))
+    for b in blocks:
+        out += struct.pack(
+            "<iiiBIIff", *b["origin"], b["levels"], b["n_y"], b["n_z"],
+            float(b["q"][0]), float(b["q"][1]))
+        out += struct.pack("<III", len(b["coord_bytes"]), len(b["y_bytes"]),
+                           len(b["z_bytes"]))
+        out += struct.pack("<iii", *[int(v) for v in b["k"]])
+        out += b["coord_bytes"]
+        out += b["y_bytes"]
+        out += b["z_bytes"]
+    data = bytes(out)
+    if path_or_none:
+        with open(path_or_none, "wb") as f:
+            f.write(data)
+        return None
+    return data
+
+
+def read_container(path_or_bytes):
+    """Returns (blocks, scaling_factor)."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    assert data[:4] == MAGIC, "bad magic"
+    ver, scaling_factor, n_blocks = struct.unpack_from("<BfI", data, 4)
+    assert ver == VERSION, f"unsupported version {ver}"
+    pos = 4 + struct.calcsize("<BfI")
+    blocks = []
+    for _ in range(n_blocks):
+        ox, oy, oz, levels, n_y, n_z, qg, qa = struct.unpack_from("<iiiBIIff", data, pos)
+        pos += struct.calcsize("<iiiBIIff")
+        lc, ly, lz = struct.unpack_from("<III", data, pos)
+        pos += struct.calcsize("<III")
+        k = struct.unpack_from("<iii", data, pos)
+        pos += struct.calcsize("<iii")
+        coord_bytes = data[pos:pos + lc]; pos += lc
+        y_bytes = data[pos:pos + ly]; pos += ly
+        z_bytes = data[pos:pos + lz]; pos += lz
+        blocks.append({"origin": (ox, oy, oz), "levels": levels, "n_y": n_y,
+                       "n_z": n_z, "q": (qg, qa), "k": list(k),
+                       "coord_bytes": coord_bytes, "y_bytes": y_bytes,
+                       "z_bytes": z_bytes})
+    return blocks, scaling_factor

@@ -1,0 +1,292 @@
+"""Streaming point-cloud codec: host orchestration around jitted device graphs.
+
+Parity target: ``UnifiedModel.compress/decompress``
+(/root/reference/model/model.py:94-250): optional coordinate downscale,
+block partitioning, per-block analysis -> entropy coding -> container, and
+the inverse.  TPU-native structure:
+
+  * all NN compute is in a handful of jitted graphs, cached per static
+    capacity bucket (powers of two), so arbitrary frames reuse compilations;
+  * the encoder derives its Gaussian parameters through the *decoder's*
+    graph, making encoder/decoder entropy parameters identical by
+    construction (no Sorted*-style machinery needed);
+  * coordinates are coded by the native octree codec, features by the native
+    rANS coder — no subprocesses, no temp files.
+"""
+
+import math
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coding import octree, rans
+from ..models.entropy import gaussian
+from ..models.entropy.bottleneck import build_cdf_tables
+from ..ops import coords as C
+from ..ops.sparse import SparseTensor
+from . import bitstream
+
+
+def _bucket(n, lo=512):
+    return max(lo, 1 << max(0, math.ceil(math.log2(max(n, 1)))))
+
+
+class Codec:
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        self.tables = None
+        self._jits = {}
+        self.debug = False
+        self.debug_info = []
+
+    # -- table freezing (reference model.update(), model.py:30-34) ----------
+
+    def update(self):
+        bn = self.params["entropy_model"]["bottleneck"]
+        ch = self.model.config["entropy_model"]["C_hyper_bottleneck"]
+        self.tables = {
+            "z": build_cdf_tables(bn, ch),
+            "y": gaussian.build_cdf_tables(),
+        }
+
+    # -- cached jitted device graphs ----------------------------------------
+
+    def _jit(self, name, builder):
+        if name not in self._jits:
+            self._jits[name] = builder()
+        return self._jits[name]
+
+    def _analyze(self, cap):
+        def build():
+            def fn(params, keys, feats):
+                x = SparseTensor(keys=keys, feats=feats, stride=1)
+                return self.model.apply({"params": params}, x,
+                                        method=self.model.ga_device)
+            return jax.jit(fn)
+        return self._jit(("analyze", cap), build)
+
+    def _hyper_analyze(self, ycap):
+        def build():
+            def fn(params, y_keys, y_feats):
+                return self.model.apply({"params": params}, y_keys, y_feats,
+                                        method=self.model.hyper_analyze_device)
+            return jax.jit(fn)
+        return self._jit(("hyper", ycap), build)
+
+    def _derive_z(self, cap):
+        def build():
+            def fn(y_keys):
+                return self.model.apply({"params": self.params}, y_keys,
+                                        method=lambda mdl, yk:
+                                        mdl.entropy_model.derive_z_keys(yk))
+            return jax.jit(fn)
+        return self._jit(("derive_z", cap), build)
+
+    def _params_graph(self, ycap, zcap):
+        def build():
+            def fn(params, y_keys, z_sym, q, z_keys):
+                return self.model.apply({"params": params}, y_keys, z_sym, q,
+                                        z_keys,
+                                        method=self.model.decode_params_device)
+            return jax.jit(fn)
+        return self._jit(("params", ycap, zcap), build)
+
+    def _symbols_graph(self, ycap):
+        def build():
+            def fn(params, y_feats, dec):
+                return self.model.apply({"params": params}, y_feats, dec,
+                                        method=self.model.encode_symbols_device)
+            return jax.jit(fn)
+        return self._jit(("symbols", ycap), build)
+
+    def _dequant_graph(self, ycap):
+        def build():
+            def fn(params, y_sym, dec):
+                return self.model.apply({"params": params}, y_sym, dec,
+                                        method=self.model.dequantize_y_device)
+            return jax.jit(fn)
+        return self._jit(("dequant", ycap), build)
+
+    def _synthesis_graph(self, ycap, prune_caps):
+        def build():
+            def fn(params, y_keys, y_hat, k):
+                st = self.model.apply({"params": params}, y_keys, y_hat, k,
+                                      prune_caps,
+                                      method=self.model.decode_synthesis_device)
+                return st.keys, st.feats
+            return jax.jit(fn)
+        return self._jit(("synthesis", ycap, prune_caps), build)
+
+    # -- encode --------------------------------------------------------------
+
+    def compress(self, pointcloud, q, path=None, block_size=1024,
+                 scaling_factor=1.0):
+        """pointcloud: numpy [N, 6] (xyz int, rgb in [0,1]). q: (q_g, q_a).
+
+        Returns container bytes (or writes to path)."""
+        assert self.tables is not None, "call update() first"
+        pts = np.asarray(pointcloud)
+        xyz = pts[:, :3].astype(np.float64)
+        if scaling_factor != 1.0:
+            xyz = np.round(xyz / scaling_factor)
+        xyz = xyz.astype(np.int32)
+        rgb = pts[:, 3:6].astype(np.float32)
+
+        mins = xyz.min(axis=0)
+        bidx = (xyz - mins) // block_size
+        order = np.lexsort((bidx[:, 2], bidx[:, 1], bidx[:, 0]))
+        xyz, rgb, bidx = xyz[order], rgb[order], bidx[order]
+        uniq, starts = np.unique(bidx, axis=0, return_index=True)
+        starts = np.sort(starts)
+        bounds = np.append(starts, len(xyz))
+
+        levels = max(1, int(math.ceil(math.log2(max(block_size // 8, 2)))))
+        qv = jnp.asarray(np.asarray(q, np.float32).reshape(1, 2))
+        blocks = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            bxyz = xyz[s:e]
+            origin = mins + ((bxyz[0] - mins) // block_size) * block_size
+            local = bxyz - origin
+            blocks.append(self._compress_block(local, rgb[s:e], qv,
+                                               tuple(int(v) for v in origin),
+                                               levels))
+        return bitstream.write_container(path, blocks, scaling_factor)
+
+    def _compress_block(self, local_xyz, rgb, qv, origin, levels):
+        from ..ops.sparse import from_points
+        n = local_xyz.shape[0]
+        cap = _bucket(n)
+        b = np.zeros(n, np.int32)
+        st = jax.jit(from_points, static_argnames=("capacity", "stride", "dedup"))(
+            jnp.asarray(b), jnp.asarray(local_xyz), jnp.asarray(rgb), capacity=cap)
+
+        enc = self._analyze(cap)(self.params, st.keys, st.feats)
+
+        # re-bucket y to the decoder's capacity (bucket of the true count):
+        # keys are sorted with sentinels at the tail, so the valid rows are a
+        # prefix and host slicing/padding preserves order
+        y_keys_full = np.asarray(enc["y_keys"])
+        n_y = int((y_keys_full != np.iinfo(np.int64).max).sum())
+        ycap = _bucket(n_y)
+        y_keys_np = np.full(ycap, np.iinfo(np.int64).max, np.int64)
+        y_feats_np = np.zeros((ycap, enc["y_feats"].shape[1]), np.float32)
+        m = min(ycap, y_keys_full.shape[0])
+        y_keys_np[:m] = y_keys_full[:m]
+        y_feats_np[:m] = np.asarray(enc["y_feats"])[:m]
+        y_keys = jnp.asarray(y_keys_np)
+        y_feats = jnp.asarray(y_feats_np)
+
+        hyp = self._hyper_analyze(ycap)(self.params, y_keys, y_feats)
+        z_keys = hyp["z_keys"]
+        dec = self._params_graph(ycap, int(z_keys.shape[0]))(
+            self.params, y_keys, hyp["z_sym"], qv, z_keys)
+        y_sym = self._symbols_graph(ycap)(self.params, y_feats, dec)
+
+        # host: compact valid rows and entropy-code
+        yv = y_keys_np != np.iinfo(np.int64).max
+        z_keys_np = np.asarray(z_keys)
+        zv = z_keys_np != np.iinfo(np.int64).max
+        n_z = int(zv.sum())
+
+        zt, yt = self.tables["z"], self.tables["y"]
+        z_vals = np.asarray(hyp["z_sym"])[zv].reshape(-1)
+        ch = z_vals.size // max(n_z, 1)
+        z_idx = np.tile(np.arange(ch, dtype=np.int32), n_z)
+        z_bytes = rans.encode_with_indexes(z_vals, z_idx, zt["cdf"],
+                                           zt["cdf_length"], zt["offset"])
+
+        y_vals = np.asarray(y_sym)[yv].reshape(-1)
+        y_idx = np.asarray(dec["indexes"])[yv].reshape(-1)
+        y_bytes = rans.encode_with_indexes(y_vals, y_idx, yt["cdf"],
+                                           yt["cdf_length"], yt["offset"])
+
+        morton = y_keys_np[yv] & ((1 << C.BATCH_SHIFT) - 1)
+        coord_bytes = octree.encode(morton, levels)
+
+        if self.debug:
+            self.debug_info.append({
+                "side": "enc", "y_sym": y_vals.copy(), "z_sym": z_vals.copy(),
+                "y_idx": y_idx.copy(), "y_keys": y_keys_np[yv].copy(),
+                "scales": np.asarray(dec["scales_hat"])[yv].copy(),
+                "means": np.asarray(dec["means_hat"])[yv].copy()})
+
+        k = np.asarray(enc["k"])[:, 0]  # single-block batch 0
+        return {"origin": origin, "levels": levels, "n_y": n_y, "n_z": n_z,
+                "q": (float(qv[0, 0]), float(qv[0, 1])), "k": k.tolist(),
+                "coord_bytes": coord_bytes, "y_bytes": y_bytes,
+                "z_bytes": z_bytes}
+
+    # -- decode --------------------------------------------------------------
+
+    def decompress(self, path_or_bytes):
+        """Returns numpy [N, 6] (xyz int, rgb in [0,1] on the 8-bit grid)."""
+        assert self.tables is not None, "call update() first"
+        blocks, scaling_factor = bitstream.read_container(path_or_bytes)
+        outs = []
+        for blk in blocks:
+            outs.append(self._decompress_block(blk))
+        x = np.concatenate(outs, axis=0)
+        if scaling_factor != 1.0:
+            x[:, :3] = x[:, :3] * scaling_factor
+        return x
+
+    def _decompress_block(self, blk):
+        zt, yt = self.tables["z"], self.tables["y"]
+        morton = octree.decode(blk["coord_bytes"], blk["levels"], blk["n_y"] + 8)
+        assert morton.size == blk["n_y"], "coordinate count mismatch"
+        ycap = _bucket(blk["n_y"])
+        y_keys_np = np.full(ycap, np.iinfo(np.int64).max, np.int64)
+        y_keys_np[:morton.size] = morton  # batch 0 bits are zero
+        y_keys = jnp.asarray(y_keys_np)
+
+        z_keys = self._derive_z(ycap)(y_keys)
+        z_keys_np = np.asarray(z_keys)
+        zv = z_keys_np != np.iinfo(np.int64).max
+        n_z = int(zv.sum())
+        assert n_z == blk["n_z"], f"z count mismatch {n_z} != {blk['n_z']}"
+
+        ch = zt["cdf"].shape[0]
+        z_idx = np.tile(np.arange(ch, dtype=np.int32), n_z)
+        z_vals = rans.decode_with_indexes(blk["z_bytes"], z_idx, zt["cdf"],
+                                          zt["cdf_length"], zt["offset"])
+        zcap = int(z_keys.shape[0])
+        z_sym = np.zeros((zcap, ch), np.int32)
+        z_sym[np.where(zv)[0]] = z_vals.reshape(n_z, ch)
+
+        qv = jnp.asarray(np.asarray(blk["q"], np.float32).reshape(1, 2))
+        dec = self._params_graph(ycap, zcap)(self.params, y_keys,
+                                             jnp.asarray(z_sym), qv, z_keys)
+
+        yv = y_keys_np != np.iinfo(np.int64).max
+        y_idx = np.asarray(dec["indexes"])[yv].reshape(-1)
+        y_vals = rans.decode_with_indexes(blk["y_bytes"], y_idx, yt["cdf"],
+                                          yt["cdf_length"], yt["offset"])
+        cb = self.model.config["entropy_model"]["C_bottleneck"]
+        y_sym = np.zeros((ycap, cb), np.int32)
+        y_sym[np.where(yv)[0]] = y_vals.reshape(blk["n_y"], cb)
+
+        y_hat = self._dequant_graph(ycap)(self.params, jnp.asarray(y_sym), dec)
+
+        if self.debug:
+            self.debug_info.append({
+                "side": "dec", "y_sym": y_vals.copy(), "z_sym": z_vals.copy(),
+                "y_idx": y_idx.copy(), "y_keys": y_keys_np[yv].copy(),
+                "scales": np.asarray(dec["scales_hat"])[yv].copy(),
+                "means": np.asarray(dec["means_hat"])[yv].copy()})
+
+        k = np.zeros((3, self.model.config.get("max_batch", 8)), np.int32)
+        k[:, 0] = blk["k"]
+        prune_caps = tuple(_bucket(int(v)) for v in blk["k"])
+        keys, feats = self._synthesis_graph(ycap, prune_caps)(
+            self.params, y_keys, y_hat, jnp.asarray(k))
+
+        keys_np = np.asarray(keys)
+        v = keys_np != np.iinfo(np.int64).max
+        units = np.asarray(C.key_units(jnp.asarray(keys_np[v])))
+        colors = np.asarray(feats)[v]
+        colors = np.clip(np.round(colors * 255.0), 0.0, 255.0) / 255.0
+        xyz = units + np.asarray(blk["origin"], np.int32)
+        return np.concatenate([xyz.astype(np.float32), colors], axis=1)

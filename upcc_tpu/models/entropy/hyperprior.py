@@ -72,6 +72,15 @@ class MeanScaleHyperprior(nn.Module):
         t = self.ha3(t, d2, t.stride * 2)
         return t
 
+    def derive_z_keys(self, y_keys):
+        """z coordinates from y coordinates alone — the decoder bootstrap
+        (reference model.py:227-230 applies down_conv twice).  Must mirror
+        h_a's key path exactly: same caps, same downsampling."""
+        cap0 = int(self.cap_factors[0] * y_keys.shape[0])
+        cap1 = int(self.cap_factors[1] * y_keys.shape[0])
+        mid = downsample_keys(y_keys, cap0)
+        return downsample_keys(mid, cap1)
+
     def h_s_params_at(self, z_hat: SparseTensor, y_keys):
         """Gaussian params (scales, means) evaluated at the y coordinates."""
         cap_mid = int(self.cap_factors[2] * y_keys.shape[0])

@@ -112,8 +112,10 @@ class SparseSynthesisTransform(nn.Module):
         return keys
 
     @nn.compact
-    def __call__(self, y: SparseTensor, k):
+    def __call__(self, y: SparseTensor, k, prune_caps=None):
         """y: latents (stride 8). k: int32[3, max_batch] target counts.
+        prune_caps: optional static (c1, c2, c3) capacities of the pruned
+        levels (the decoder sizes these from the transmitted k).
 
         Returns (x_hat, candidates, logits_list):
           x_hat: SparseTensor at stride 1 with C_out color channels,
@@ -123,7 +125,8 @@ class SparseSynthesisTransform(nn.Module):
           logits: list of 3 f32 logit arrays aligned with candidates.
         """
         base_cap = y.capacity
-        caps = [int(f * base_cap) for f in self.prune_cap_factors]
+        caps = list(prune_caps) if prune_caps is not None else \
+            [int(f * base_cap) for f in self.prune_cap_factors]
 
         x = SparseConv(self.N4, self.N3, 5, "same", name="up1_conv")(y)
         x = x.replace(feats=GDN(self.N3, inverse=True, name="igdn1")(x.feats))

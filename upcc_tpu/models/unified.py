@@ -83,10 +83,35 @@ class UnifiedModel(nn.Module):
     def decode_params_device(self, y_keys, z_sym, q, z_keys):
         return self.entropy_model.decode_params_device(y_keys, z_sym, q, z_keys)
 
-    def decode_synthesis_device(self, y_keys, y_hat_feats, k):
+    def decode_synthesis_device(self, y_keys, y_hat_feats, k, prune_caps=None):
         y_hat = SparseTensor(keys=y_keys, feats=y_hat_feats, stride=8)
-        x_hat, _, _ = self.g_s(y_hat, k)
+        x_hat, _, _ = self.g_s(y_hat, k, prune_caps=prune_caps)
         return x_hat
+
+    def ga_device(self, x: SparseTensor):
+        """Encoder front: analysis transform only."""
+        xin = occupancy_color_features(x)
+        y, k = self.g_a(xin)
+        return {"y_keys": y.keys, "y_feats": y.feats, "k": k}
+
+    def hyper_analyze_device(self, y_keys, y_feats):
+        """h_a + z rounding, run on the decoder's y capacity bucket so the
+        z key set (including any capacity clipping) is identical on both
+        sides.  The Gaussian-parameter half then runs through the decoder's
+        own graph (decode_params_device) — encoder and decoder derive
+        bit-identical entropy parameters by construction, the property the
+        reference enforces with Sorted* layers and encoder-side decompress
+        simulation (/root/reference/model/entropy_models.py:372)."""
+        y = SparseTensor(keys=y_keys, feats=y_feats, stride=8)
+        z = self.entropy_model.h_a(y)
+        med = self.entropy_model.bottleneck.medians()
+        z_sym = (jnp.round(z.feats - med[None, :]) * z.valid[:, None]).astype(jnp.int32)
+        return {"z_keys": z.keys, "z_sym": z_sym}
+
+    def encode_symbols_device(self, y_feats, dec):
+        """Quantize y to integer symbols with the decoder-derived params."""
+        sym = jnp.round(y_feats * dec["scale"] - dec["means_hat"] * dec["scale"])
+        return (sym * dec["y_valid"][:, None]).astype(jnp.int32)
 
     def dequantize_y_device(self, y_sym, dec):
         return self.entropy_model.dequantize_y_device(y_sym, dec)
