@@ -1,0 +1,89 @@
+"""Benchmark: single-frame encode+decode throughput of the flagship codec.
+
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference takes 15.56 s encode + 25.33 s decode
+for one vox10 frame ("House", q=(0.5,0.5)) on its committed sample row —
+0.02445 frames/s.  vs_baseline is our enc+dec frames/s on one TPU chip over
+a synthetic vox10-scale frame divided by that number.  North star >= 10.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import upcc_tpu  # noqa: F401
+    from upcc_tpu.codec import Codec
+    from upcc_tpu.data.synthetic import surface_cloud
+    from upcc_tpu.models.unified import UnifiedModel
+    from upcc_tpu.ops.sparse import from_points
+
+    n = 128
+    cfg = {
+        "max_batch": 8,
+        "g_a": {"C_in": 4, "N1": n, "N2": n, "N3": n, "N4": n},
+        "g_s": {"C_out": 3, "N1": n, "N2": n, "N3": n, "N4": n},
+        "entropy_model": {
+            "C_bottleneck": n, "C_hyper_bottleneck": 192,
+            "quantization_mode": "ste", "inverse_rescaling": True,
+            "quantization_offset": True,
+        },
+    }
+    model = UnifiedModel(cfg)
+
+    # init params on a small input
+    rng = np.random.default_rng(0)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=2000)
+    b = np.zeros(xyz.shape[0], np.int32)
+    st = from_points(jnp.asarray(b), jnp.asarray(xyz), jnp.asarray(rgb),
+                     capacity=4096)
+    q = jnp.full((1, 2), 0.5, jnp.float32)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, st, q,
+                        jnp.ones((1, 2), jnp.float32))["params"]
+    codec = Codec(model, params)
+    codec.update()
+
+    # vox10-scale frame: ~760k surface points in a 1024^3 grid (the 8iVFBv2
+    # full-body frames used by the reference eval are 700k-1M points)
+    frame_parts = []
+    for i in range(4):
+        xyz_i, rgb_i = surface_cloud(np.random.default_rng(10 + i),
+                                     extent=512, n_target=190_000)
+        xyz_i = xyz_i + np.array([[512 * (i % 2), 512 * (i // 2), 0]], np.int32)
+        frame_parts.append(np.concatenate([xyz_i.astype(np.float32), rgb_i], 1))
+    frame = np.concatenate(frame_parts)
+    n_points = len(frame)
+
+    # warmup (compile)
+    data = codec.compress(frame, q=(0.5, 0.5), block_size=1024)
+    out = codec.decompress(data)
+    assert out.shape[0] > 0
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        data = codec.compress(frame, q=(0.5, 0.5), block_size=1024)
+        out = codec.decompress(data)
+    dt = (time.time() - t0) / reps
+
+    fps = 1.0 / dt
+    baseline_fps = 1.0 / (15.56 + 25.33)
+    bpp = len(data) * 8.0 / n_points
+    print(f"# frame: {n_points} pts, {dt:.3f} s/frame enc+dec, {bpp:.3f} bpp",
+          flush=True)
+    print(json.dumps({
+        "metric": "encdec_fps_vox10",
+        "value": round(fps, 4),
+        "unit": "frames/s (1 chip, enc+dec, ~760k pts vox10)",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

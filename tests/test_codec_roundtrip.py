@@ -33,7 +33,7 @@ def codec():
     st = from_points(jnp.asarray(b), jnp.asarray(xyz), jnp.asarray(rgb), capacity=1024)
     q = jnp.full((1, 2), 0.5, jnp.float32)
     lam = jnp.ones((1, 2), jnp.float32)
-    params = model.init({"params": jax.random.PRNGKey(0),
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0),
                          "noise": jax.random.PRNGKey(1)}, st, q, lam)["params"]
     c = Codec(model, params)
     c.update()

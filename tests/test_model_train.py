@@ -50,7 +50,7 @@ def model_and_params():
     x = make_batch()
     q = jnp.full((2, 2), 0.5, jnp.float32)
     lam = jnp.full((2, 2), 1.0, jnp.float32)
-    params = model.init({"params": jax.random.PRNGKey(0),
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0),
                          "noise": jax.random.PRNGKey(1)}, x, q, lam)["params"]
     return model, params, x, q, lam
 

@@ -20,10 +20,20 @@ Design pillars (TPU-first, not a port):
     reference is single-GPU (SURVEY.md §5.8).
 """
 
+import os
+
 import jax
 
 # The whole framework keys sparse voxels by 63-bit Morton codes (int64).
 # This must be enabled before any key math is traced.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the codec compiles one graph per capacity
+# bucket; cache them across processes.
+_cache_dir = os.environ.get("UPCC_COMPILATION_CACHE",
+                            os.path.expanduser("~/.cache/upcc_tpu_xla"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"

@@ -156,12 +156,11 @@ class Codec:
         return bitstream.write_container(path, blocks, scaling_factor)
 
     def _compress_block(self, local_xyz, rgb, qv, origin, levels):
-        from ..ops.sparse import from_points
+        from ..ops.sparse import from_points_host
         n = local_xyz.shape[0]
         cap = _bucket(n)
         b = np.zeros(n, np.int32)
-        st = jax.jit(from_points, static_argnames=("capacity", "stride", "dedup"))(
-            jnp.asarray(b), jnp.asarray(local_xyz), jnp.asarray(rgb), capacity=cap)
+        st = from_points_host(b, local_xyz, rgb, capacity=cap)
 
         enc = self._analyze(cap)(self.params, st.keys, st.feats)
 

@@ -1,0 +1,110 @@
+"""Point-cloud quality metrics: D1/D2 geometry PSNR, YUV color PSNR.
+
+Parity target: the reference's python fallback metric
+(/root/reference/metrics/metric.py:6-189) and the mpeg `pc_error` wrapper
+(/root/reference/utils.py:189-264), without Open3D or subprocesses:
+  * nearest neighbors via scipy cKDTree (exact, host-side — metrics are an
+    eval-only path, not the TPU hot loop);
+  * duplicate-aware color association: colors of all equidistant nearest
+    neighbors are averaged (the reference walks up to 30 neighbors one
+    point at a time; here one vectorized k=8 query handles the ties);
+  * BT.709 RGB->YUV; PSNR conventions identical to the reference
+    (D1: 10log10(r^2/mse) with per-axis-mean squared distance; colors:
+    10log10(1/mse) on [0,1]-scaled YUV; yuv_psnr = (6y+u+v)/8 dB as in
+    utils.py:245-264);
+  * symmetric results follow the reference's min-of-directions convention;
+  * D2 (point-to-plane) from PCA normals on the source cloud, matching
+    pc_error's definition.
+"""
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+
+def rgb_to_yuv_bt709(rgb01):
+    rgb = np.round(np.clip(rgb01, 0.0, 1.0) * 255.0)
+    y = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+    u = -0.1146 * rgb[..., 0] - 0.3854 * rgb[..., 1] + 0.5 * rgb[..., 2]
+    v = 0.5 * rgb[..., 0] - 0.4542 * rgb[..., 1] - 0.0458 * rgb[..., 2]
+    yuv = np.stack([y, u, v], -1) / 255.0
+    yuv[..., 1] += 0.5
+    yuv[..., 2] += 0.5
+    return yuv
+
+
+def estimate_normals(points, k=16):
+    """PCA normals from k nearest neighbors (unoriented)."""
+    tree = cKDTree(points)
+    _, idx = tree.query(points, k=min(k, len(points)))
+    nb = points[idx]  # [N, k, 3]
+    nb = nb - nb.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", nb, nb) / nb.shape[1]
+    _, vecs = np.linalg.eigh(cov)
+    return vecs[:, :, 0]  # smallest-eigenvalue eigenvector
+
+
+def _directional(a_pts, a_col, b_pts, b_col, b_tree, resolution,
+                 b_normals=None):
+    k = min(8, len(b_pts))
+    dist, idx = b_tree.query(a_pts, k=k)
+    if k == 1:
+        dist, idx = dist[:, None], idx[:, None]
+    d2 = dist ** 2
+    # per-axis-mean squared distance, reference convention (metric.py:116)
+    l2 = d2[:, 0] / 3.0
+    out = {}
+    out["mse"] = float(l2.mean())
+    out["hausdorff"] = float(l2.max())
+    out["psnr_mse"] = float(10 * np.log10(resolution ** 2 / max(out["mse"], 1e-20)))
+    out["psnr_hausdorff"] = float(10 * np.log10(resolution ** 2 / max(out["hausdorff"], 1e-20)))
+
+    # D2 (point-to-plane) against source normals when given
+    if b_normals is not None:
+        err = a_pts - b_pts[idx[:, 0]]
+        plane = np.einsum("ni,ni->n", err, b_normals[idx[:, 0]]) ** 2
+        mse2 = float(plane.mean())
+        out["d2_mse"] = mse2
+        out["d2_psnr"] = float(10 * np.log10(3 * resolution ** 2 / max(mse2, 1e-20)))
+
+    if a_col is not None and b_col is not None:
+        # average colors of all equidistant nearest neighbors
+        ties = (d2 - d2[:, :1]) < 1e-8
+        w = ties.astype(np.float64)
+        cols = (b_col[idx] * w[..., None]).sum(1) / w.sum(1, keepdims=True)
+        ay = rgb_to_yuv_bt709(a_col)
+        by = rgb_to_yuv_bt709(cols)
+        cmse = ((ay - by) ** 2).mean(axis=0)
+        for i, ch in enumerate("yuv"):
+            out[f"{ch}_mse"] = float(cmse[i])
+            out[f"{ch}_psnr"] = float(10 * np.log10(1.0 / max(cmse[i], 1e-20)))
+        out["yuv_mse"] = float(cmse.mean())
+        out["yuv_psnr"] = float((6 * out["y_psnr"] + out["u_psnr"]
+                                 + out["v_psnr"]) / 8.0)
+    return out
+
+
+def pc_metrics(source, reconstruction, resolution, with_d2=True):
+    """source/reconstruction: [N, 6] arrays (xyz, rgb in [0,1]) or (xyz, None).
+
+    Returns a dict with AB_/BA_/sym_ prefixed metrics, reference naming."""
+    src = np.asarray(source, np.float64)
+    rec = np.asarray(reconstruction, np.float64)
+    s_pts, s_col = src[:, :3], (src[:, 3:6] if src.shape[1] >= 6 else None)
+    r_pts, r_col = rec[:, :3], (rec[:, 3:6] if rec.shape[1] >= 6 else None)
+    s_tree, r_tree = cKDTree(s_pts), cKDTree(r_pts)
+    s_nrm = estimate_normals(s_pts) if with_d2 else None
+
+    ab = _directional(s_pts, s_col, r_pts, r_col, r_tree, resolution)
+    ba = _directional(r_pts, r_col, s_pts, s_col, s_tree, resolution,
+                      b_normals=s_nrm)
+    result = {f"AB_{k}": v for k, v in ab.items()}
+    result.update({f"BA_{k}": v for k, v in ba.items()})
+    for key in ["mse", "hausdorff", "psnr_mse", "psnr_hausdorff",
+                "y_mse", "u_mse", "v_mse", "y_psnr", "u_psnr", "v_psnr",
+                "yuv_mse", "yuv_psnr"]:
+        a, b = result.get(f"AB_{key}"), result.get(f"BA_{key}")
+        if a is not None and b is not None:
+            result[f"sym_{key}"] = min(a, b)
+    if with_d2:
+        result["sym_d2_psnr"] = result.get("BA_d2_psnr")
+    return result

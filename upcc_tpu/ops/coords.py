@@ -74,6 +74,18 @@ def morton_decode(code):
     return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
 
 
+def morton_encode_np(units):
+    """numpy twin of morton_encode for host-side voxelization."""
+    units = np.asarray(units)
+    out = np.zeros(units.shape[:-1], np.int64)
+    for axis, shift in ((0, 2), (1, 1), (2, 0)):
+        v = units[..., axis].astype(np.int64) & 0x1FFFFF
+        for mask, s in reversed(_MASKS):
+            v = (v | (v << s)) & mask
+        out |= v << shift
+    return out
+
+
 def make_keys(batch, units):
     """Pack (batch int [...], units int [...,3]) into sorted-comparable keys."""
     b = batch.astype(jnp.int64) << BATCH_SHIFT

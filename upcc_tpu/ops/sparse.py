@@ -75,6 +75,24 @@ def _sort_by_keys(keys, feats):
     return keys[order], feats[order]
 
 
+def compact(keys, keep, *arrays):
+    """Stable compaction: move kept rows to the front, sentinel/zero the tail.
+
+    Because the input keys are sorted and compaction is stable, the output
+    keys stay sorted — this replaces full re-sorts after dedup/prune, whose
+    XLA-TPU compile time scales with array size.  O(N) cumsum + scatter."""
+    n = keys.shape[0]
+    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, dest, n)  # out-of-range rows are dropped
+    out_keys = jnp.full((n,), C.SENTINEL, keys.dtype).at[dest].set(
+        keys, mode="drop")
+    outs = []
+    for a in arrays:
+        z = jnp.zeros_like(a)
+        outs.append(z.at[dest].set(a, mode="drop"))
+    return (out_keys, *outs)
+
+
 def from_points(batch, xyz, feats, capacity, stride=1, dedup=True):
     """Build a SparseTensor from (batch[N], xyz[N,3] int, feats[N,C]).
 
@@ -95,13 +113,39 @@ def from_points(batch, xyz, feats, capacity, stride=1, dedup=True):
     feats = feats[:capacity]
     if dedup:
         dup = jnp.concatenate([jnp.array([False]), keys[1:] == keys[:-1]])
-        dup = dup & C.key_is_valid(keys)
-        keys = jnp.where(dup, C.SENTINEL, keys)
-        feats = jnp.where(dup[:, None], 0.0, feats)
-        keys, feats = _sort_by_keys(keys, feats)
+        keep = ~dup & C.key_is_valid(keys)
+        keys, feats = compact(keys, keep, feats)
     valid = C.key_is_valid(keys)
     feats = feats * valid[:, None].astype(feats.dtype)
     return SparseTensor(keys=keys, feats=feats, stride=stride)
+
+
+def from_points_host(batch, xyz, feats, capacity, stride=1, dedup=True):
+    """Host (numpy) voxelization: sorts on CPU, so the device never compiles
+    a large raw-input sort.  Returns a SparseTensor of device arrays."""
+    import numpy as np
+    batch = np.asarray(batch)
+    xyz = np.asarray(xyz)
+    feats = np.asarray(feats, np.float32)
+    units = (xyz.astype(np.int64) // stride)
+    ok = batch >= 0
+    keys = np.where(ok, C.morton_encode_np(units)
+                    | (batch.astype(np.int64) << C.BATCH_SHIFT),
+                    np.iinfo(np.int64).max)
+    order = np.argsort(keys, kind="stable")
+    keys, feats = keys[order], feats[order]
+    if dedup:
+        keep = np.ones(len(keys), bool)
+        keep[1:] = keys[1:] != keys[:-1]
+        keep &= keys != np.iinfo(np.int64).max
+        keys, feats = keys[keep], feats[keep]
+    n = min(len(keys), capacity)
+    out_keys = np.full(capacity, np.iinfo(np.int64).max, np.int64)
+    out_feats = np.zeros((capacity, feats.shape[1]), np.float32)
+    out_keys[:n] = keys[:n]
+    out_feats[:n] = feats[:n]
+    return SparseTensor(keys=jnp.asarray(out_keys), feats=jnp.asarray(out_feats),
+                        stride=stride)
 
 
 def lookup(st: SparseTensor, query_keys):
@@ -126,14 +170,15 @@ def features_at(st: SparseTensor, query_keys):
 def downsample_keys(keys, capacity=None):
     """Parent keys at 2x stride: morton >> 3, dedup. Input keys sorted.
 
-    Output keys remain sorted (monotone map + dedup keeps order)."""
+    The shift is monotone, so parents arrive sorted-with-duplicates and a
+    stable compaction (no sort) finishes the job."""
     capacity = capacity or keys.shape[0]
     bbits = keys & ~((jnp.int64(1) << C.BATCH_SHIFT) - 1)
     parent = bbits | ((keys & ((jnp.int64(1) << C.BATCH_SHIFT) - 1)) >> 3)
     parent = jnp.where(C.key_is_valid(keys), parent, C.SENTINEL)
     dup = jnp.concatenate([jnp.array([False]), parent[1:] == parent[:-1]])
-    parent = jnp.where(dup & C.key_is_valid(parent), C.SENTINEL, parent)
-    parent = jnp.sort(parent)
+    keep = ~dup & C.key_is_valid(parent)
+    (parent,) = compact(parent, keep)
     return parent[:capacity]
 
 

@@ -1,47 +1,93 @@
 """Per-batch top-k selection and pruning on flat sparse tensors.
 
 Replaces the reference's per-batch-item python loop
-(/root/reference/model/transforms.py:228-254) with fully vectorized segment
-ranking: sort by (batch asc, logit desc), rank within batch, keep rank < k.
+(/root/reference/model/transforms.py:228-254).  TPU-native formulation:
+instead of sorting the logits (XLA-TPU sort compile time scales with array
+size), the k-th largest value per batch is found by a 32-step binary search
+on the monotone integer image of the float logits; selection is
+"strictly greater than threshold" plus first-in-position ties.  Everything
+is O(N) elementwise + segment sums per step, shape-static and sort-free.
+
+Pruning then compacts the kept rows with a stable cumsum-scatter, which
+preserves Morton order — no re-sort.
 """
 
+import jax
 import jax.numpy as jnp
 
 from . import coords as C
-from .sparse import SparseTensor
+from .sparse import SparseTensor, compact
+
+
+def _float_to_ordered_int(x):
+    """Monotone bijection f32 -> int64 in [0, 2^32): flip the sign bit for
+    positives, all bits for negatives (IEEE total order)."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    b = bits.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+    neg = bits < 0
+    return jnp.where(neg, (~b) & jnp.int64(0xFFFFFFFF),
+                     b | jnp.int64(0x80000000))
 
 
 def topk_mask(st: SparseTensor, logits, k_per_batch):
     """Boolean mask of the top-k(batch) logits within each batch.
 
-    logits:      f32[N] occupancy scores (one per slot of st).
-    k_per_batch: int32[B] number of points to keep per batch index.
-    """
-    n = st.capacity
+    Ties at the threshold are broken by position (first wins), which is
+    deterministic and identical on encoder and decoder."""
     maxb = k_per_batch.shape[0]
     valid = st.valid
-    b = jnp.where(valid, st.batch, maxb)
-    neg_inf = jnp.finfo(logits.dtype).min
-    l = jnp.where(valid, logits, neg_inf)
-    order = jnp.lexsort((-l, b))
-    b_s = b[order]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.array([True]), b_s[1:] != b_s[:-1]])
-    seg_start = jnp.where(is_start, idx, 0)
-    seg_start = jnp.maximum.accumulate(seg_start)
-    rank = idx - seg_start
-    k_ext = jnp.concatenate([k_per_batch.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])
-    keep_sorted = rank < k_ext[jnp.minimum(b_s, maxb)]
-    keep_sorted = keep_sorted & (b_s < maxb)
-    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
-    return keep
+    b = jnp.where(valid, jnp.minimum(st.batch, maxb - 1), maxb)
+    u = _float_to_ordered_int(logits)
+    # invalid slots get the minimum so they never win
+    u = jnp.where(valid, u, jnp.int64(-1))
+    k = jnp.maximum(k_per_batch.astype(jnp.int32), 0)
+
+    def count_gt(thr_b):
+        gt = (u > thr_b[b]).astype(jnp.int32) * valid.astype(jnp.int32)
+        return jnp.bincount(jnp.where(valid, b, maxb), weights=gt,
+                            length=maxb + 1)[:maxb].astype(jnp.int32)
+
+    # binary search (per batch) for the smallest T with count(u > T) < k,
+    # i.e. T = value of the k-th largest element
+    def body(i, state):
+        lo, hi = state  # invariant: count(u > hi) < k <= count(u > lo-1)
+        mid = (lo + hi) // 2
+        c = count_gt(mid)
+        lo = jnp.where(c >= k, mid + 1, lo)
+        hi = jnp.where(c >= k, hi, mid)
+        return lo, hi
+
+    lo0 = jnp.full((maxb,), -1, jnp.int64)
+    hi0 = jnp.full((maxb,), jnp.int64(1) << 32, jnp.int64)
+    _, thr = jax.lax.fori_loop(0, 34, body, (lo0, hi0))
+
+    gt = (u > thr[b]) & valid
+    n_gt = jnp.bincount(jnp.where(valid, b, maxb),
+                        weights=gt.astype(jnp.int32),
+                        length=maxb + 1)[:maxb].astype(jnp.int32)
+    need = jnp.maximum(k - n_gt, 0)
+    tie = (u == thr[b]) & valid
+    # rank ties within each batch by position: cumulative count of ties of
+    # the same batch before this slot
+    onehot_tie = tie.astype(jnp.int32)
+    # segment cumsum: since slots are sorted by key (batch-major), a global
+    # cumsum minus the batch's prefix gives the in-batch rank
+    csum = jnp.cumsum(onehot_tie)
+    batch_start_total = csum - jnp.where(tie, 1, 0)  # count before this slot
+    # per-batch offset: total ties in earlier batches
+    ties_per_batch = jnp.bincount(jnp.where(valid, b, maxb),
+                                  weights=onehot_tie,
+                                  length=maxb + 1)[:maxb].astype(jnp.int32)
+    prior = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                             jnp.cumsum(ties_per_batch)[:-1]])
+    rank_in_batch = batch_start_total - prior[b]
+    fill = tie & (rank_in_batch < need[b])
+    return gt | fill
 
 
 def prune(st: SparseTensor, keep, capacity=None):
-    """Drop slots where keep is False; result stays sorted, sentinel-padded."""
+    """Drop slots where keep is False; stable compaction keeps keys sorted."""
     capacity = capacity or st.capacity
-    keys = jnp.where(keep, st.keys, C.SENTINEL)
-    feats = st.feats * keep[:, None].astype(st.feats.dtype)
-    order = jnp.argsort(keys)
-    return SparseTensor(keys=keys[order][:capacity], feats=feats[order][:capacity],
+    keys, feats = compact(st.keys, keep & st.valid, st.feats)
+    return SparseTensor(keys=keys[:capacity], feats=feats[:capacity],
                         stride=st.stride)
