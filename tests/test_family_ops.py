@@ -1,0 +1,141 @@
+"""Family (brick) convs must match the generic gather-GEMM convs exactly."""
+
+import numpy as np
+import pytest
+
+import upcc_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from upcc_tpu.ops import coords as C
+from upcc_tpu.ops.sparse import (from_points, downsample_keys,
+                                 upsample_children_keys)
+from upcc_tpu.ops.conv import apply_sparse_conv
+from upcc_tpu.ops import family as F
+
+
+def make_st(seed, n=200, extent=24, batches=2, cin=6, cap=256):
+    rng = np.random.default_rng(seed)
+    xyz = rng.integers(0, extent, (n, 3)).astype(np.int32)
+    b = rng.integers(0, batches, n).astype(np.int32)
+    f = rng.standard_normal((n, cin)).astype(np.float32)
+    return jax.jit(lambda b, x, f: from_points(b, x, f, capacity=cap))(
+        jnp.asarray(b), jnp.asarray(xyz), jnp.asarray(f))
+
+
+@pytest.mark.parametrize("ks", [1, 3, 5])
+def test_family_conv_same(ks):
+    st = make_st(0)
+    rng = np.random.default_rng(1)
+    offs = C.kernel_offsets(ks)
+    w = jnp.asarray(rng.standard_normal((offs.shape[0], 6, 7)).astype(np.float32) * 0.2)
+
+    ref = jax.jit(lambda st, w: apply_sparse_conv(
+        st, st.keys, w, None, offs, "same", 1, compute_dtype=jnp.float32).feats)(st, w)
+
+    def fam(st, w):
+        fm = F.build_family(st.keys)
+        return F.family_conv(fm, st.feats, st.valid, w, ks,
+                             out_keys_valid=st.valid,
+                             compute_dtype=jnp.float32)
+    got = jax.jit(fam)(st, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ks", [3, 5])
+def test_family_down_conv(ks):
+    st = make_st(2)
+    rng = np.random.default_rng(3)
+    offs = C.kernel_offsets(ks)
+    w = jnp.asarray(rng.standard_normal((offs.shape[0], 6, 5)).astype(np.float32) * 0.2)
+
+    def ref_fn(st, w):
+        dk = downsample_keys(st.keys)
+        return dk, apply_sparse_conv(st, dk, w, None, offs, "down", 2,
+                                     compute_dtype=jnp.float32).feats
+    dk, ref = jax.jit(ref_fn)(st, w)
+
+    def fam(st, w):
+        fm = F.build_family(st.keys)
+        return fm.parent_keys, F.family_down_conv(fm, st.feats, st.valid, w, ks,
+                                                  compute_dtype=jnp.float32)
+    pk, got = jax.jit(fam)(st, w)
+    # same parent key set (build_family parents == downsample_keys)
+    np.testing.assert_array_equal(np.asarray(pk), np.asarray(dk))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ks", [2, 5])
+def test_family_transpose_up(ks):
+    st = make_st(4, extent=12, cap=128)
+    st = st.replace(stride=2)
+    rng = np.random.default_rng(5)
+    offs = C.kernel_offsets(ks)
+    w = jnp.asarray(rng.standard_normal((offs.shape[0], 6, 4)).astype(np.float32) * 0.2)
+
+    def ref_fn(st, w):
+        ok = upsample_children_keys(st.keys)
+        return ok, apply_sparse_conv(st, ok, w, None, offs, "up", 1,
+                                     compute_dtype=jnp.float32).feats
+    ok_keys, ref = jax.jit(ref_fn)(st, w)
+
+    def fam(st, w):
+        nbr = F._parent_neighbors(st.keys)
+        return F.family_transpose_up(nbr, st.feats, st.valid, w, ks,
+                                     compute_dtype=jnp.float32)
+    got = jax.jit(fam)(st, w)
+    # mask to valid children (generic path zeroes invalid out slots)
+    v = np.asarray(ok_keys) != np.iinfo(np.int64).max
+    np.testing.assert_allclose(np.asarray(got)[v], np.asarray(ref)[v],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_child_family_matches_build():
+    st = make_st(6, extent=12, cap=128)
+    children = jax.jit(upsample_children_keys)(st.keys)
+
+    def both(st, children):
+        cf = F.child_family(st.keys)
+        bf = F.build_family(children, parent_cap=st.capacity)
+        return cf, bf
+    cf, bf = jax.jit(both)(st, children)
+    nvalid = int(np.asarray(C.key_is_valid(children)).sum())
+    a = np.asarray(cf.point_parent)[:nvalid]
+    b = np.asarray(bf.point_parent)[:nvalid]
+    # parent sets are both == st.keys (sorted); indices must agree
+    np.testing.assert_array_equal(np.asarray(cf.parent_keys),
+                                  np.asarray(bf.parent_keys)[:cf.parent_keys.shape[0]])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_cross_set_conv():
+    """Conv evaluated at a different output set (h_s final conv at y keys)."""
+    st = make_st(7, extent=16, cap=256, batches=1)
+    rng = np.random.default_rng(8)
+    # output set = random subset of input keys
+    keys_np = np.asarray(st.keys)
+    v = keys_np != np.iinfo(np.int64).max
+    sel = np.where(v)[0][rng.random(v.sum()) < 0.6]
+    out_keys_np = np.full(128, np.iinfo(np.int64).max, np.int64)
+    out_keys_np[:len(sel)] = keys_np[sel]
+    out_keys = jnp.asarray(out_keys_np)
+
+    offs = C.kernel_offsets(3)
+    w = jnp.asarray(rng.standard_normal((27, 6, 5)).astype(np.float32) * 0.2)
+    ref = jax.jit(lambda st, w: apply_sparse_conv(
+        st, out_keys, w, None, offs, "same", 1, compute_dtype=jnp.float32).feats)(st, w)
+
+    def fam2(st, w):
+        fm_in = F.build_family(st.keys)
+        fm_out = F.build_family(out_keys, parent_cap=out_keys.shape[0],
+                                nbr=(jnp.zeros((out_keys.shape[0], 27), jnp.int32),
+                                     jnp.zeros((out_keys.shape[0], 27), bool)))
+        cross = F.cross_neighbors(fm_out.parent_keys, fm_in.parent_keys)
+        return F.family_conv(fm_in, st.feats, st.valid, w, 3, out_fm=fm_out,
+                             out_keys_valid=C.key_is_valid(out_keys),
+                             nbr_cross=cross, compute_dtype=jnp.float32)
+    got = jax.jit(fam2)(st, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -1,4 +1,4 @@
-"""Variable-rate mean-scale hyperprior over sparse latents.
+"""Variable-rate mean-scale hyperprior over sparse latents (family engine).
 
 Parity target: the reference's ``MeanScaleHyperprior``
 (/root/reference/model/entropy_models.py:128-490):
@@ -11,11 +11,13 @@ Parity target: the reference's ``MeanScaleHyperprior``
     (Kamisli et al., DCC 2024);
   * factorized bottleneck for z, conditional Gaussian for y.
 
-TPU-native notes: coordinates never leave the device — z coords are
-``morton >> 6`` of y's, h_s expands children twice and evaluates its last
-conv directly at the y coordinates (no dense candidate materialization, no
-coordinate re-sorting: flat key arrays are canonically sorted already, which
-is what the reference's Sorted* wrappers existed to enforce).
+TPU-native structure: kernel-2 generative transposes are single einsums
+(child slot s of parent u reads exactly in[u] @ W[s] — zero gathers); the
+final 3^3 conv is evaluated directly at the y coordinates through a
+cross-parent map, so no candidate set is ever materialized beyond the
+8-child expansions.  Flat Morton order makes encoder/decoder parameter
+derivation bit-identical by construction (the reference needs Sorted*
+wrappers and encoder-side decompress simulation for this).
 """
 
 from typing import Sequence
@@ -25,9 +27,10 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import coords
+from ...ops import family as F
 from ...ops.sparse import SparseTensor, downsample_keys, upsample_children_keys
 from ..bound import lower_bound, quantize_ste
-from ..layers import MLP, SparseConv, leaky_relu_st
+from ..layers import MLP, FamilyConv, FamilyDownConv, FamilyTransposeUp
 from . import gaussian
 from .bottleneck import FactorizedBottleneck
 
@@ -48,29 +51,18 @@ class MeanScaleHyperprior(nn.Module):
 
     def setup(self):
         C, Ch = self.C_bottleneck, self.C_hyper_bottleneck
-        self.ha1 = SparseConv(C, Ch, 3, "same", name="ha1")
-        self.ha2 = SparseConv(Ch, Ch, 3, "down", name="ha2")
-        self.ha3 = SparseConv(Ch, Ch, 3, "down", name="ha3")
-        self.hs1 = SparseConv(Ch, Ch, 2, "up", name="hs1")
-        self.hs2 = SparseConv(Ch, C * 3 // 2, 2, "up", name="hs2")
-        self.hs3 = SparseConv(C * 3 // 2, C * 2, 3, "same", name="hs3")
+        self.ha1 = FamilyConv(C, Ch, 3, name="ha1")
+        self.ha2 = FamilyDownConv(Ch, Ch, 3, name="ha2")
+        self.ha3 = FamilyDownConv(Ch, Ch, 3, name="ha3")
+        self.hs1 = FamilyTransposeUp(Ch, Ch, 2, name="hs1")
+        self.hs2 = FamilyTransposeUp(Ch, C * 3 // 2, 2, name="hs2")
+        self.hs3 = FamilyConv(C * 3 // 2, C * 2, 3, name="hs3")
         self.bottleneck = FactorizedBottleneck(Ch, name="bottleneck")
         self.scale_nn = MLP((8, C // 4, C), final_softplus=True, name="scale_nn")
         self.rescale_nn = MLP((8, C // 4, C), final_softplus=True, name="rescale_nn")
         self.quant_nn = MLP((10, 10, 1), name="quant_nn")
 
     # ---- shared sub-graphs -------------------------------------------------
-
-    def h_a(self, y: SparseTensor):
-        caps = [int(f * y.capacity) for f in self.cap_factors[:2]]
-        t = self.ha1(y)
-        t = leaky_relu_st(t)
-        d1 = downsample_keys(t.keys, caps[0])
-        t = self.ha2(t, d1, t.stride * 2)
-        t = leaky_relu_st(t)
-        d2 = downsample_keys(t.keys, caps[1])
-        t = self.ha3(t, d2, t.stride * 2)
-        return t
 
     def derive_z_keys(self, y_keys):
         """z coordinates from y coordinates alone — the decoder bootstrap
@@ -81,18 +73,45 @@ class MeanScaleHyperprior(nn.Module):
         mid = downsample_keys(y_keys, cap0)
         return downsample_keys(mid, cap1)
 
+    def h_a(self, y: SparseTensor):
+        cap0 = int(self.cap_factors[0] * y.capacity)
+        cap1 = int(self.cap_factors[1] * y.capacity)
+        fm_y = F.build_family(y.keys, parent_cap=cap0)
+        t = self.ha1(fm_y, y.feats, y.valid, out_keys_valid=y.valid)
+        t = nn.leaky_relu(t, 0.01)
+        f1 = self.ha2(fm_y, t, y.valid)
+        z1 = SparseTensor(keys=fm_y.parent_keys, feats=nn.leaky_relu(f1, 0.01),
+                          stride=y.stride * 2)
+        fm_z1 = F.build_family(z1.keys, parent_cap=cap1)
+        f2 = self.ha3(fm_z1, z1.feats, z1.valid)
+        return SparseTensor(keys=fm_z1.parent_keys, feats=f2, stride=z1.stride * 2)
+
     def h_s_params_at(self, z_hat: SparseTensor, y_keys):
         """Gaussian params (scales, means) evaluated at the y coordinates."""
         cap_mid = int(self.cap_factors[2] * y_keys.shape[0])
         cap_top = int(self.cap_factors[3] * y_keys.shape[0])
-        k1 = upsample_children_keys(z_hat.keys)[:cap_mid]
-        t = self.hs1(z_hat, k1, z_hat.stride // 2)
-        t = leaky_relu_st(t)
-        k2 = upsample_children_keys(t.keys)[:cap_top]
-        t = self.hs2(t, k2, t.stride // 2)
-        t = leaky_relu_st(t)
-        out = self.hs3(t, y_keys, t.stride)
-        scales, means = jnp.split(out.feats, 2, axis=1)
+
+        t1_keys = upsample_children_keys(z_hat.keys)[:cap_mid]
+        f1 = self.hs1(None, z_hat.feats, z_hat.valid)[:cap_mid]
+        t1_valid = coords.key_is_valid(t1_keys)
+        f1 = nn.leaky_relu(f1, 0.01) * t1_valid[:, None]
+
+        t2_keys = upsample_children_keys(t1_keys)[:cap_top]
+        f2 = self.hs2(None, f1, t1_valid)[:cap_top]
+        t2_valid = coords.key_is_valid(t2_keys)
+        f2 = nn.leaky_relu(f2, 0.01) * t2_valid[:, None]
+
+        # final 3^3 conv evaluated directly at the y coordinates
+        fm_t2 = F.build_family(t2_keys, parent_cap=cap_mid)
+        dummy_nbr = (jnp.zeros((y_keys.shape[0], 27), jnp.int32),
+                     jnp.zeros((y_keys.shape[0], 27), bool))
+        fm_y = F.build_family(y_keys, parent_cap=y_keys.shape[0],
+                              nbr=dummy_nbr)
+        cross = F.cross_neighbors(fm_y.parent_keys, fm_t2.parent_keys)
+        y_valid = coords.key_is_valid(y_keys)
+        out = self.hs3(fm_t2, f2, t2_valid, out_fm=fm_y,
+                       out_keys_valid=y_valid, nbr_cross=cross)
+        scales, means = jnp.split(out, 2, axis=1)
         return scales, means
 
     def gains(self, q, y_batch, y_valid):
@@ -169,21 +188,11 @@ class MeanScaleHyperprior(nn.Module):
     # ---- coding-side device graphs (wrapped by codec.py on the host) -------
 
     def encode_device(self, y: SparseTensor, q):
-        """Everything the encoder needs before/around host rANS calls:
-        z analysis + symbols, simulated z_hat, Gaussian params and symbols."""
+        """h_a + z rounding for the encoder (run at the decoder's y bucket)."""
         z = self.h_a(y)
         med = self.bottleneck.medians()
-        z_sym = jnp.round(z.feats - med[None, :]) * z.valid[:, None]
-        z_hat = z.replace(feats=(z_sym + med[None, :]) * z.valid[:, None])
-
-        scales_hat, means_hat = self.h_s_params_at(z_hat, y.keys)
-        scale, _ = self.gains(q, y.batch, y.valid)
-        indexes = gaussian.build_indexes(scales_hat * scale)
-        y_sym = jnp.round(y.feats * scale - means_hat * scale).astype(jnp.int32)
-        y_sym = y_sym * y.valid[:, None]
-        return {"z_keys": z.keys, "z_sym": z_sym.astype(jnp.int32),
-                "y_indexes": indexes, "y_sym": y_sym,
-                "y_valid": y.valid, "z_valid": z.valid}
+        z_sym = (jnp.round(z.feats - med[None, :]) * z.valid[:, None]).astype(jnp.int32)
+        return {"z_keys": z.keys, "z_sym": z_sym}
 
     def decode_params_device(self, y_keys, z_sym, q, z_keys):
         """Decoder graph after z symbols are entropy-decoded: reconstruct

@@ -1,8 +1,8 @@
-"""Flax wrappers for the sparse ops: conv layers with parameters.
+"""Flax layers over the family-conv sparse engine.
 
-The coordinate plumbing stays explicit (out_keys are computed by the caller
-from set ops), which keeps every layer shape-static and lets coordinate work
-be shared between layers operating on the same point sets.
+Coordinate structure (FamilyMaps) is built by the caller and shared across
+layers operating on the same point set — the parameter-holding modules here
+are thin: weights + the family_* compute call.
 """
 
 import flax.linen as nn
@@ -10,12 +10,103 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import coords as C
+from ..ops import family as F
 from ..ops.conv import apply_sparse_conv
 from ..ops.sparse import SparseTensor
 
 
+def _winit(kernel_volume, cin):
+    fan_in = kernel_volume * cin
+    return nn.initializers.normal(stddev=(1.0 / fan_in) ** 0.5)
+
+
+class FamilyConv(nn.Module):
+    """Stride-1 sparse conv (odd kernel <= 5) over octree bricks."""
+
+    cin: int
+    cout: int
+    kernel_size: int = 3
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, fm, feats, valid, out_fm=None, out_keys_valid=None,
+                 nbr_cross=None):
+        k = self.kernel_size ** 3
+        w = self.param("w", _winit(k, self.cin), (k, self.cin, self.cout),
+                       jnp.float32)
+        out = F.family_conv(fm, feats, valid, w, self.kernel_size,
+                            out_fm=out_fm, out_keys_valid=out_keys_valid,
+                            nbr_cross=nbr_cross)
+        if self.use_bias:
+            b = self.param("b", nn.initializers.zeros, (self.cout,), jnp.float32)
+            ov = out_keys_valid if out_keys_valid is not None else valid
+            out = (out + b) * ov[:, None].astype(out.dtype)
+        return out
+
+
+class FamilyDownConv(nn.Module):
+    """Stride-2 sparse conv; output set = fm.parent_keys."""
+
+    cin: int
+    cout: int
+    kernel_size: int = 5
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, fm, feats, valid):
+        k = self.kernel_size ** 3
+        w = self.param("w", _winit(k, self.cin), (k, self.cin, self.cout),
+                       jnp.float32)
+        out = F.family_down_conv(fm, feats, valid, w, self.kernel_size)
+        if self.use_bias:
+            b = self.param("b", nn.initializers.zeros, (self.cout,), jnp.float32)
+            out = (out + b) * C.key_is_valid(fm.parent_keys)[:, None].astype(out.dtype)
+        return out
+
+
+class FamilyTransposeUp(nn.Module):
+    """Generative stride-2 transposed conv onto the full child expansion."""
+
+    cin: int
+    cout: int
+    kernel_size: int = 5
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, nbr_self, feats, valid):
+        k = self.kernel_size ** 3
+        w = self.param("w", _winit(k, self.cin), (k, self.cin, self.cout),
+                       jnp.float32)
+        out = F.family_transpose_up(nbr_self, feats, valid, w,
+                                    self.kernel_size)
+        if self.use_bias:
+            b = self.param("b", nn.initializers.zeros, (self.cout,), jnp.float32)
+            cvalid = jnp.repeat(valid, 8)
+            out = (out + b) * cvalid[:, None].astype(out.dtype)
+        return out
+
+
+class PointwiseConv(nn.Module):
+    """1^3 conv == per-point dense layer."""
+
+    cin: int
+    cout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, feats, valid):
+        w = self.param("w", _winit(1, self.cin), (self.cin, self.cout),
+                       jnp.float32)
+        out = feats @ w
+        if self.use_bias:
+            b = self.param("b", nn.initializers.zeros, (self.cout,), jnp.float32)
+            out = out + b
+        return out * valid[:, None].astype(out.dtype)
+
+
 class SparseConv(nn.Module):
-    """Sparse convolution layer. mode: 'same' | 'down' (stride 2) | 'up'."""
+    """Generic gather-GEMM sparse conv (kept for channelwise/odd cases and
+    as the reference implementation the family engine is tested against)."""
 
     cin: int
     cout: int
@@ -27,10 +118,8 @@ class SparseConv(nn.Module):
     def __call__(self, x: SparseTensor, out_keys=None, out_stride=None):
         offsets = C.kernel_offsets(self.kernel_size)
         k = offsets.shape[0]
-        fan_in = k * self.cin
-        w = self.param(
-            "w", nn.initializers.normal(stddev=(1.0 / fan_in) ** 0.5),
-            (k, self.cin, self.cout), jnp.float32)
+        w = self.param("w", _winit(k, self.cin), (k, self.cin, self.cout),
+                       jnp.float32)
         b = self.param("b", nn.initializers.zeros, (self.cout,), jnp.float32) \
             if self.use_bias else None
         if out_keys is None:

@@ -1,4 +1,4 @@
-"""Analysis (g_a) and synthesis (g_s) transforms.
+"""Analysis (g_a) and synthesis (g_s) transforms on the family-conv engine.
 
 Behavioral parity targets (reference /root/reference/model/transforms.py):
   * g_a: 3x (5^3 stride-2 sparse conv + GDN) + final 5^3 conv; records the
@@ -8,18 +8,18 @@ Behavioral parity targets (reference /root/reference/model/transforms.py):
     selection pruning to exactly k points, final 1^3 color conv
     (transforms.py:101-282).
 
-TPU-first deviations (documented, not accidental):
-  * Point counting is a segment-sum over Morton-key batch bits, not a python
-    loop (transforms.py:47-64).
-  * Upsampling generates the 8 child voxels of each occupied parent
-    (sorted for free in Morton order) and runs the 5^3 feature kernel over
-    that candidate set.  The reference expands the full 5^3 region at the
-    output stride (up to 125 candidates/parent); `expand_full_region=True`
-    reproduces that, the child mode is the PCGCv2-style default that keeps
-    candidate counts (and MXU work) 15x smaller.
-  * The GT coordinate pyramid / z-coordinate derivation needs no learned
-    `down_conv` (transforms.py:166, model.py:227-230 use only its output
-    coordinates): stride-2 coordinate downsampling is `morton >> 3`.
+TPU-first structure (see ops/family.py): every stride transition rides the
+octree parent/child relation, so the candidate set of each upsampling level
+is exactly the 8-child expansion of the pruned previous level, its
+FamilyMap is free (parents = previous level), and one 27-neighborhood map
+per level is shared by the transposed conv and both occupancy-head convs.
+The reference's full 5^3-region coordinate generation
+(transforms.py:129-137) is intentionally replaced by child expansion
+(PCGCv2-style): the feature kernel stays 5^3, only the candidate set is the
+8 children — 15x fewer candidates with the k-pruning behavior unchanged.
+Point counting is a segment-sum over Morton batch bits, and the GT pyramid
+needs no learned down_conv (morton >> 3 is the coordinate map,
+transforms.py:166 / model.py:227-230).
 """
 
 from typing import Sequence
@@ -28,10 +28,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops import coords as C
-from ..ops.sparse import SparseTensor, downsample_keys, upsample_children_keys, expand_region_keys
+from ..ops import family as F
+from ..ops.sparse import SparseTensor, upsample_children_keys
 from ..ops.topk import topk_mask, prune
 from .gdn import GDN
-from .layers import SparseConv, relu_st
+from .layers import FamilyConv, FamilyDownConv, FamilyTransposeUp, PointwiseConv
 
 
 class AnalysisTransform(nn.Module):
@@ -44,36 +45,45 @@ class AnalysisTransform(nn.Module):
     N4: int = 128
     max_batch: int = 8
     # static capacity of each downsampled level as a fraction of the input
-    # capacity; overflow degrades gracefully (points are dropped in a way
-    # that stays self-consistent between k counts, latents and decode).
+    # capacity; overflow degrades gracefully (self-consistent clipping)
     cap_factors: Sequence[float] = (0.5, 0.5, 0.5)
 
     @nn.compact
     def __call__(self, x: SparseTensor):
-        """Returns (y at stride 8, k int32[3, max_batch] per-level counts).
-
-        k[0] = counts at stride 4, k[1] at stride 2, k[2] at stride 1 —
-        the reversed order g_s consumes (transforms.py:96)."""
+        """Returns (y at stride 8, k int32[3, max_batch] per-level counts,
+        fm_y: the FamilyMap of the y set, reusable by the entropy model)."""
         caps = [int(f * x.capacity) for f in self.cap_factors]
         k2 = x.counts_per_batch(self.max_batch)
 
-        d1 = downsample_keys(x.keys, caps[0])
-        x = SparseConv(self.C_in, self.N1, 5, "down", name="conv1")(x, d1, x.stride * 2)
+        fm0 = F.build_family(x.keys, parent_cap=caps[0])
+        f1 = FamilyDownConv(self.C_in, self.N1, 5, name="conv1")(
+            fm0, x.feats, x.valid)
+        x = SparseTensor(keys=fm0.parent_keys, feats=f1, stride=x.stride * 2)
         x = x.replace(feats=GDN(self.N1, name="gdn1")(x.feats))
         k1 = x.counts_per_batch(self.max_batch)
 
-        d2 = downsample_keys(x.keys, caps[1])
-        x = SparseConv(self.N1, self.N2, 5, "down", name="conv2")(x, d2, x.stride * 2)
+        fm1 = F.build_family(x.keys, parent_cap=caps[1])
+        f2 = FamilyDownConv(self.N1, self.N2, 5, name="conv2")(
+            fm1, x.feats, x.valid)
+        x = SparseTensor(keys=fm1.parent_keys, feats=f2, stride=x.stride * 2)
         x = x.replace(feats=GDN(self.N2, name="gdn2")(x.feats))
         k0 = x.counts_per_batch(self.max_batch)
 
-        d3 = downsample_keys(x.keys, caps[2])
-        x = SparseConv(self.N2, self.N3, 5, "down", name="conv3")(x, d3, x.stride * 2)
+        fm2 = F.build_family(x.keys, parent_cap=caps[2])
+        f3 = FamilyDownConv(self.N2, self.N3, 5, name="conv3")(
+            fm2, x.feats, x.valid)
+        x = SparseTensor(keys=fm2.parent_keys, feats=f3, stride=x.stride * 2)
         x = x.replace(feats=GDN(self.N3, name="gdn3")(x.feats))
-        x = SparseConv(self.N3, self.N4, 5, "same", name="conv4")(x)
+
+        # final 5^3 conv at the y set; its FamilyMap (parents = stride-16
+        # set) is shared with h_a and h_s readout downstream
+        fm_y = F.build_family(x.keys, parent_cap=x.capacity)
+        f4 = FamilyConv(self.N3, self.N4, 5, name="conv4")(
+            fm_y, x.feats, x.valid, out_keys_valid=x.valid)
+        x = x.replace(feats=f4)
 
         k = jnp.stack([k0, k1, k2]).astype(jnp.int32)
-        return x, k
+        return x, k, fm_y
 
 
 class OccupancyHead(nn.Module):
@@ -83,11 +93,13 @@ class OccupancyHead(nn.Module):
     chid: int
 
     @nn.compact
-    def __call__(self, x: SparseTensor):
-        h = SparseConv(self.cin, self.chid, 3, "same", name="c1")(x)
-        h = relu_st(h)
-        h = SparseConv(self.chid, 1, 3, "same", name="c2")(h)
-        return h.feats[:, 0]
+    def __call__(self, fm: F.FamilyMap, feats, valid):
+        h = FamilyConv(self.cin, self.chid, 3, name="c1")(
+            fm, feats, valid, out_keys_valid=valid)
+        h = nn.relu(h)
+        h = FamilyConv(self.chid, 1, 3, name="c2")(
+            fm, h, valid, out_keys_valid=valid)
+        return h[:, 0]
 
 
 class SparseSynthesisTransform(nn.Module):
@@ -99,37 +111,27 @@ class SparseSynthesisTransform(nn.Module):
     N3: int = 128
     N4: int = 128
     max_batch: int = 8
-    expand_full_region: bool = False
-    # capacity of each pruned level, as a multiple of the input capacity
     prune_cap_factors: Sequence[float] = (2.0, 4.0, 8.0)
-
-    def _expand(self, x: SparseTensor):
-        if self.expand_full_region:
-            cap = min(x.capacity * 27, x.capacity * 125)
-            keys = expand_region_keys(x.keys, C.kernel_offsets(5), cap)
-        else:
-            keys = upsample_children_keys(x.keys)
-        return keys
 
     @nn.compact
     def __call__(self, y: SparseTensor, k, prune_caps=None):
         """y: latents (stride 8). k: int32[3, max_batch] target counts.
-        prune_caps: optional static (c1, c2, c3) capacities of the pruned
-        levels (the decoder sizes these from the transmitted k).
+        prune_caps: optional static (c1, c2, c3) pruned-level capacities
+        (the decoder sizes these from the transmitted k).
 
-        Returns (x_hat, candidates, logits_list):
-          x_hat: SparseTensor at stride 1 with C_out color channels,
-                 pruned to k[2] points per batch.
-          candidates: list of 3 candidate SparseTensors (pre-prune sets)
-                 whose logits feed the focal loss.
-          logits: list of 3 f32 logit arrays aligned with candidates.
-        """
+        Returns (x_hat, candidates, logits_list) as in the reference
+        training path (model.py:79, transforms.py:214-222)."""
         base_cap = y.capacity
         caps = list(prune_caps) if prune_caps is not None else \
             [int(f * base_cap) for f in self.prune_cap_factors]
 
-        x = SparseConv(self.N4, self.N3, 5, "same", name="up1_conv")(y)
-        x = x.replace(feats=GDN(self.N3, inverse=True, name="igdn1")(x.feats))
+        # self 27-neighborhood of the y set: shared by up-transpose + head
+        nbr = F._parent_neighbors(y.keys)
+        f = FamilyConv(self.N4, self.N3, 5, name="up1_conv")(
+            F.build_family(y.keys, parent_cap=base_cap), y.feats, y.valid,
+            out_keys_valid=y.valid)
+        f = GDN(self.N3, inverse=True, name="igdn1")(f)
+        x = y.replace(feats=f)
 
         cands, logits_list = [], []
         specs = [
@@ -138,15 +140,24 @@ class SparseSynthesisTransform(nn.Module):
             (self.N1, self.N1 // 4, "up3_t", self.N1 // 4, self.N4 // 8, "pred3"),
         ]
         for lvl, (cin, cout, tname, pcin, pchid, pname) in enumerate(specs):
-            out_keys = self._expand(x)
-            x = SparseConv(cin, cout, 5, "up", name=tname)(x, out_keys, x.stride // 2)
-            logits = OccupancyHead(pcin, pchid, name=pname)(x)
-            cands.append(x)
+            if lvl > 0:
+                nbr = F._parent_neighbors(x.keys)
+            child_keys = upsample_children_keys(x.keys)
+            cf = F.child_family(x.keys, nbr=nbr)
+            cfeats = FamilyTransposeUp(cin, cout, 5, name=tname)(
+                nbr, x.feats, x.valid)
+            cvalid = C.key_is_valid(child_keys)
+            cand = SparseTensor(keys=child_keys, feats=cfeats,
+                                stride=x.stride // 2)
+            logits = OccupancyHead(pcin, pchid, name=pname)(cf, cfeats, cvalid)
+            cands.append(cand)
             logits_list.append(logits)
-            keep = topk_mask(x, logits, k[lvl])
-            x = prune(x, keep, capacity=caps[lvl])
+            keep = topk_mask(cand, logits, k[lvl])
+            x = prune(cand, keep, capacity=caps[lvl])
             if lvl < 2:
-                x = x.replace(feats=GDN(cout, inverse=True, name=f"igdn{lvl + 2}")(x.feats))
+                x = x.replace(feats=GDN(cout, inverse=True,
+                                        name=f"igdn{lvl + 2}")(x.feats))
 
-        x = SparseConv(self.N1 // 4, self.C_out, 1, "same", name="color_conv")(x)
-        return x, cands, logits_list
+        f = PointwiseConv(self.N1 // 4, self.C_out, name="color_conv")(
+            x.feats, x.valid)
+        return x.replace(feats=f), cands, logits_list
