@@ -1,0 +1,139 @@
+"""Evaluation driver: RD sweep over the (q_g, q_a) grid -> test.csv.
+
+API-surface parity with /root/reference/evaluate.py:26-199: per experiment,
+load results/<exp>/{weights.msgpack, config.yaml}, sweep the test sequences
+over the quality grid, time compress/decompress, compute D1/D2/YUV metrics,
+and append rows to results/<exp>/test.csv with the reference's column names
+(bpp, sequence, frameIdx, t_compress, t_decompress, q_a, q_g, ...).
+
+Test-set registry mirrors evaluate.py:29-46 (8iVFBv2 vox10 @ block 1024,
+Owlii vox11 @ block 512).  Sequences whose PLY files are absent in this
+environment are replaced by synthetic surface frames at matching scale so
+the full pipeline stays runnable end to end.
+"""
+
+import argparse
+import csv
+import os
+import time
+
+import numpy as np
+import yaml
+
+TEST_SET = {
+    "loot": {"resolution": 1023, "block_size": 1024, "frame": 1200},
+    "longdress": {"resolution": 1023, "block_size": 1024, "frame": 1300},
+    "soldier": {"resolution": 1023, "block_size": 1024, "frame": 690},
+    "redandblack": {"resolution": 1023, "block_size": 1024, "frame": 1550},
+    "basketball_player": {"resolution": 2047, "block_size": 512, "frame": 200},
+    "dancer": {"resolution": 2047, "block_size": 512, "frame": 1},
+    "exercise": {"resolution": 2047, "block_size": 512, "frame": 1},
+    "model": {"resolution": 2047, "block_size": 512, "frame": 1},
+}
+
+
+def load_frame(sequence, spec, data_root="./data/raw"):
+    """PLY if available, synthetic surface at matching scale otherwise."""
+    from upcc_tpu.data.ply import read_ply
+    path = os.path.join(data_root, sequence,
+                        f"{sequence}_vox10_{spec['frame']:04d}.ply")
+    if os.path.exists(path):
+        xyz, rgb = read_ply(path)
+        return np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+    from upcc_tpu.data.synthetic import surface_cloud
+    n = 760_000 if spec["resolution"] <= 1023 else 1_200_000
+    rng = np.random.default_rng(abs(hash(sequence)) % (2 ** 31))
+    xyz, rgb = surface_cloud(rng, extent=spec["resolution"] + 1, n_target=n)
+    return np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+
+
+def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
+                data_root="./data/raw", results_path="./results",
+                max_points=None):
+    import jax
+    import jax.numpy as jnp
+    import flax.serialization as ser
+    import upcc_tpu  # noqa: F401
+    from upcc_tpu.codec import Codec
+    from upcc_tpu.eval.metrics import pc_metrics
+    from upcc_tpu.models.unified import UnifiedModel
+    from upcc_tpu.ops.sparse import from_points_host
+
+    qs = np.linspace(0, 1, q_steps)
+    for exp in experiments:
+        exp_dir = os.path.join(results_path, exp)
+        with open(os.path.join(exp_dir, "config.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        mcfg = dict(cfg["model"])
+        mcfg["max_batch"] = cfg.get("batch_size", 8)
+        model = UnifiedModel(mcfg)
+
+        # template params then restore weights (reference evaluate.py:79-89)
+        rng = np.random.default_rng(0)
+        from upcc_tpu.data.synthetic import surface_cloud
+        xyz, rgb = surface_cloud(rng, extent=32, n_target=500)
+        st = from_points_host(np.zeros(len(xyz), np.int32), xyz, rgb, 512)
+        template = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            st, jnp.full((1, 2), 0.5, jnp.float32),
+            jnp.ones((1, 2), jnp.float32))["params"]
+        wpath = os.path.join(exp_dir, "weights.msgpack")
+        if os.path.exists(wpath):
+            with open(wpath, "rb") as f:
+                params = ser.from_bytes(template, f.read())
+        else:
+            print(f"[{exp}] no weights.msgpack — evaluating template params")
+            params = template
+        codec = Codec(model, params)
+        codec.update()
+
+        rows = []
+        for seq, spec in TEST_SET.items():
+            if sequences and seq not in sequences:
+                continue
+            pc = load_frame(seq, spec, data_root)
+            if max_points and len(pc) > max_points:
+                pc = pc[np.random.default_rng(0).choice(
+                    len(pc), max_points, replace=False)]
+            for qg in qs:
+                for qa in qs:
+                    t0 = time.time()
+                    data = codec.compress(pc, q=(float(qg), float(qa)),
+                                          block_size=spec["block_size"])
+                    t1 = time.time()
+                    rec = codec.decompress(data)
+                    t2 = time.time()
+                    row = {"sequence": seq, "frameIdx": spec["frame"],
+                           "q_g": round(float(qg), 3),
+                           "q_a": round(float(qa), 3),
+                           "bpp": len(data) * 8 / len(pc),
+                           "t_compress": t1 - t0, "t_decompress": t2 - t1,
+                           "num_points": len(pc)}
+                    if with_metrics:
+                        m = pc_metrics(pc, rec, spec["resolution"])
+                        row.update({k: v for k, v in m.items()
+                                    if k.startswith("sym_")})
+                    rows.append(row)
+                    print(f"[{exp}] {seq} q=({qg:.1f},{qa:.1f}) "
+                          f"bpp={row['bpp']:.3f} enc={row['t_compress']:.2f}s "
+                          f"dec={row['t_decompress']:.2f}s", flush=True)
+        if rows:
+            path = os.path.join(exp_dir, "test.csv")
+            with open(path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(rows[0]))
+                w.writeheader()
+                w.writerows(rows)
+            print(f"[{exp}] wrote {path} ({len(rows)} rows)")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--experiments", nargs="+",
+                    default=["CVPR_inverse_scaling"])
+    ap.add_argument("--q_steps", type=int, default=11)
+    ap.add_argument("--sequences", nargs="*", default=None)
+    ap.add_argument("--no_metrics", action="store_true")
+    ap.add_argument("--max_points", type=int, default=None)
+    a = ap.parse_args()
+    run_testset(a.experiments, a.q_steps, a.sequences,
+                with_metrics=not a.no_metrics, max_points=a.max_points)

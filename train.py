@@ -1,0 +1,26 @@
+"""CLI: python train.py --config=configs/CVPR_inverse_scaling.yaml
+
+API-surface parity with the reference entry point
+(/root/reference/train.py:353-367): trains the experiment described by the
+YAML config and writes results/<experiment>/{config.yaml, ckpts/,
+weights.msgpack, val.csv}.
+"""
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--capacity", type=int, default=65536,
+                    help="static per-batch point capacity")
+    ap.add_argument("--max_steps_per_epoch", type=int, default=None)
+    args = ap.parse_args()
+
+    from upcc_tpu.training.trainer import Training
+    Training(args.config, capacity=args.capacity,
+             max_steps_per_epoch=args.max_steps_per_epoch).train()
+
+
+if __name__ == "__main__":
+    main()
