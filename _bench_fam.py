@@ -24,12 +24,14 @@ log("init done")
 codec = Codec(model, params); codec.update()
 log("tables done")
 
-for npts, ext in [(20000, 256), (150000, 1000)]:
-    xyz, rgb = surface_cloud(np.random.default_rng(5), extent=ext, n_target=npts)
-    frame = np.concatenate([xyz.astype(np.float32), rgb], 1)
-    t0=time.time(); data = codec.compress(frame, q=(0.5,0.5), block_size=1024); t1=time.time()
-    out = codec.decompress(data); t2=time.time()
-    log(f"{npts}: first enc {t1-t0:.1f}s dec {t2-t1:.1f}s")
+# dense vox10-scale frame: one 1024^3 block, ~760k surface points
+xyz, rgb = surface_cloud(np.random.default_rng(5), extent=1024, n_target=760_000)
+frame = np.concatenate([xyz.astype(np.float32), rgb], 1)
+log(f"frame: {len(frame)} pts")
+t0=time.time(); data = codec.compress(frame, q=(0.5,0.5), block_size=1024); t1=time.time()
+out = codec.decompress(data); t2=time.time()
+log(f"first enc {t1-t0:.1f}s dec {t2-t1:.1f}s")
+for rep in range(2):
     t3=time.time(); data = codec.compress(frame, q=(0.5,0.5), block_size=1024); t4=time.time()
     out = codec.decompress(data); t5=time.time()
-    log(f"{npts}: warm enc {t4-t3:.2f}s dec {t5-t4:.2f}s bpp {len(data)*8/len(frame):.2f} out {out.shape}")
+    log(f"warm enc {t4-t3:.2f}s dec {t5-t4:.2f}s bpp {len(data)*8/len(frame):.2f} out {out.shape}")

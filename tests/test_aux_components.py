@@ -1,0 +1,101 @@
+"""Aux component tests: PLY I/O, cube I/O, renders, metrics, BD, utils."""
+
+import numpy as np
+
+import upcc_tpu  # noqa: F401
+
+
+def test_ply_roundtrip(tmp_path):
+    from upcc_tpu.data.ply import read_ply, write_ply
+    rng = np.random.default_rng(0)
+    xyz = rng.integers(0, 1024, (500, 3)).astype(np.float32)
+    rgb = rng.random((500, 3)).astype(np.float32)
+    rgb = np.round(rgb * 255) / 255
+    for ascii_mode in (False, True):
+        p = tmp_path / f"t_{ascii_mode}.ply"
+        write_ply(p, xyz, rgb, ascii=ascii_mode)
+        x2, c2 = read_ply(p)
+        np.testing.assert_allclose(x2, xyz, atol=1e-4)
+        np.testing.assert_allclose(c2, rgb, atol=1 / 255 + 1e-6)
+
+
+def test_cube_io_roundtrip(tmp_path):
+    from upcc_tpu.data.cube_io import CubeHandler
+    rng = np.random.default_rng(1)
+    xyz = rng.integers(0, 300, (2000, 3)).astype(np.int32)
+    xyz = np.unique(xyz, axis=0)
+    rgb = np.round(rng.random((len(xyz), 3)) * 255).astype(np.float32) / 255
+    ch = CubeHandler(cube_size=128)
+    cubes = ch.slice(xyz, rgb)
+    n = ch.write(cubes, tmp_path / "cubes")
+    assert n == len(cubes)
+    back = ch.read(tmp_path / "cubes")
+    assert back.shape[0] == len(xyz)
+    got = {tuple(r[:3].astype(int)) for r in back}
+    expect = {tuple(r) for r in xyz}
+    assert got == expect
+
+
+def test_render(tmp_path):
+    from upcc_tpu.data.synthetic import surface_cloud
+    from upcc_tpu.eval.render import render_pointcloud
+    xyz, rgb = surface_cloud(np.random.default_rng(2), extent=64, n_target=2000)
+    pc = np.concatenate([xyz.astype(np.float32), rgb], 1)
+    imgs = render_pointcloud(pc, path_prefix=str(tmp_path / "r"), size=128)
+    assert imgs.shape == (6, 128, 128, 3)
+    assert (imgs < 1).any()  # something was drawn
+    assert (tmp_path / "r_view0.png").exists()
+
+
+def test_metrics_identity():
+    from upcc_tpu.data.synthetic import surface_cloud
+    from upcc_tpu.eval.metrics import pc_metrics
+    xyz, rgb = surface_cloud(np.random.default_rng(3), extent=64, n_target=3000)
+    pc = np.concatenate([xyz.astype(np.float32), rgb], 1)
+    m = pc_metrics(pc, pc, resolution=63)
+    assert m["sym_mse"] == 0.0
+    assert m["sym_y_psnr"] > 100  # identical colors -> clamp region
+    # shifted reconstruction degrades D1
+    pc2 = pc.copy()
+    pc2[:, 0] += 2
+    m2 = pc_metrics(pc, pc2, resolution=63)
+    assert m2["sym_psnr_mse"] < m["sym_psnr_mse"]
+    assert m2["AB_mse"] > 0
+
+
+def test_bjontegaard():
+    from upcc_tpu.eval.bjontegaard import bd_psnr, bd_rate
+    rate = np.array([0.1, 0.2, 0.4, 0.8])
+    psnr_a = np.array([30.0, 33.0, 36.0, 39.0])
+    psnr_b = psnr_a + 1.0  # uniformly 1 dB better
+    assert abs(bd_psnr(rate, psnr_a, rate, psnr_b) - 1.0) < 1e-6
+    r = bd_rate(rate, psnr_a, rate, psnr_b)
+    assert r < 0  # better quality -> rate savings
+    assert abs(bd_rate(rate, psnr_a, rate, psnr_a)) < 1e-9
+
+
+def test_misc_utils():
+    from upcc_tpu.utils.misc import AverageMeter, count_bits, overlapping_mask
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0
+    assert count_bits([b"ab", {"x": b"c"}]) == 24
+    a = np.array([1, 5, 9], np.int64)
+    b = np.array([5, 7], np.int64)
+    np.testing.assert_array_equal(overlapping_mask(a, b, warn_duplicates=False),
+                                  [False, True, False])
+
+
+def test_pcqm_proxy():
+    from upcc_tpu.data.synthetic import surface_cloud
+    from upcc_tpu.eval.anchors import pcqm
+    xyz, rgb = surface_cloud(np.random.default_rng(4), extent=64, n_target=2000)
+    pc = np.concatenate([xyz.astype(np.float32), rgb], 1)
+    val, exact = pcqm(pc, pc)
+    assert not exact  # binary absent in this environment
+    assert 0.0 <= val <= 1.0
+    pc2 = pc.copy()
+    pc2[:, 3:] = np.clip(pc2[:, 3:] + 0.3, 0, 1)
+    val2, _ = pcqm(pc, pc2)
+    assert val2 > val  # worse reconstruction -> higher PCQM (lower quality)

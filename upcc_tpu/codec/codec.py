@@ -76,20 +76,10 @@ class Codec:
             return jax.jit(fn)
         return self._jit(("hyper", ycap), build)
 
-    def _derive_z(self, cap):
-        def build():
-            def fn(y_keys):
-                return self.model.apply({"params": self.params}, y_keys,
-                                        method=lambda mdl, yk:
-                                        mdl.entropy_model.derive_z_keys(yk))
-            return jax.jit(fn)
-        return self._jit(("derive_z", cap), build)
-
     def _params_graph(self, ycap, zcap):
         def build():
-            def fn(params, y_keys, z_sym, q, z_keys):
+            def fn(params, y_keys, z_sym, q):
                 return self.model.apply({"params": params}, y_keys, z_sym, q,
-                                        z_keys,
                                         method=self.model.decode_params_device)
             return jax.jit(fn)
         return self._jit(("params", ycap, zcap), build)
@@ -102,23 +92,15 @@ class Codec:
             return jax.jit(fn)
         return self._jit(("symbols", ycap), build)
 
-    def _dequant_graph(self, ycap):
+    def _reconstruct_graph(self, ycap, prune_caps):
         def build():
-            def fn(params, y_sym, dec):
-                return self.model.apply({"params": params}, y_sym, dec,
-                                        method=self.model.dequantize_y_device)
-            return jax.jit(fn)
-        return self._jit(("dequant", ycap), build)
-
-    def _synthesis_graph(self, ycap, prune_caps):
-        def build():
-            def fn(params, y_keys, y_hat, k):
-                st = self.model.apply({"params": params}, y_keys, y_hat, k,
-                                      prune_caps,
-                                      method=self.model.decode_synthesis_device)
+            def fn(params, y_keys, y_sym, dec, k):
+                st = self.model.apply({"params": params}, y_keys, y_sym, dec,
+                                      k, prune_caps,
+                                      method=self.model.decode_reconstruct_device)
                 return st.keys, st.feats
             return jax.jit(fn)
-        return self._jit(("synthesis", ycap, prune_caps), build)
+        return self._jit(("reconstruct", ycap, prune_caps), build)
 
     # -- encode --------------------------------------------------------------
 
@@ -181,7 +163,7 @@ class Codec:
         hyp = self._hyper_analyze(ycap)(self.params, y_keys, y_feats)
         z_keys = hyp["z_keys"]
         dec = self._params_graph(ycap, int(z_keys.shape[0]))(
-            self.params, y_keys, hyp["z_sym"], qv, z_keys)
+            self.params, y_keys, hyp["z_sym"], qv)
         y_sym = self._symbols_graph(ycap)(self.params, y_feats, dec)
 
         # host: compact valid rows and entropy-code
@@ -241,23 +223,24 @@ class Codec:
         y_keys_np[:morton.size] = morton  # batch 0 bits are zero
         y_keys = jnp.asarray(y_keys_np)
 
-        z_keys = self._derive_z(ycap)(y_keys)
-        z_keys_np = np.asarray(z_keys)
-        zv = z_keys_np != np.iinfo(np.int64).max
-        n_z = int(zv.sum())
-        assert n_z == blk["n_z"], f"z count mismatch {n_z} != {blk['n_z']}"
-
+        # z symbols decode straight off the header counts: channel-major
+        # indexes need no device work, and z coordinates (the valid prefix
+        # of the derived z set) are recomputed inside the params graph
+        n_z = blk["n_z"]
         ch = zt["cdf"].shape[0]
         z_idx = np.tile(np.arange(ch, dtype=np.int32), n_z)
         z_vals = rans.decode_with_indexes(blk["z_bytes"], z_idx, zt["cdf"],
                                           zt["cdf_length"], zt["offset"])
-        zcap = int(z_keys.shape[0])
+        from ..models.entropy.hyperprior import MeanScaleHyperprior
+        zf = self.model.config["entropy_model"].get(
+            "cap_factors", MeanScaleHyperprior.cap_factors)
+        zcap = int(zf[1] * ycap)
         z_sym = np.zeros((zcap, ch), np.int32)
-        z_sym[np.where(zv)[0]] = z_vals.reshape(n_z, ch)
+        z_sym[:n_z] = z_vals.reshape(n_z, ch)
 
         qv = jnp.asarray(np.asarray(blk["q"], np.float32).reshape(1, 2))
         dec = self._params_graph(ycap, zcap)(self.params, y_keys,
-                                             jnp.asarray(z_sym), qv, z_keys)
+                                             jnp.asarray(z_sym), qv)
 
         yv = y_keys_np != np.iinfo(np.int64).max
         y_idx = np.asarray(dec["indexes"])[yv].reshape(-1)
@@ -266,8 +249,6 @@ class Codec:
         cb = self.model.config["entropy_model"]["C_bottleneck"]
         y_sym = np.zeros((ycap, cb), np.int32)
         y_sym[np.where(yv)[0]] = y_vals.reshape(blk["n_y"], cb)
-
-        y_hat = self._dequant_graph(ycap)(self.params, jnp.asarray(y_sym), dec)
 
         if self.debug:
             self.debug_info.append({
@@ -279,8 +260,8 @@ class Codec:
         k = np.zeros((3, self.model.config.get("max_batch", 8)), np.int32)
         k[:, 0] = blk["k"]
         prune_caps = tuple(_bucket(int(v)) for v in blk["k"])
-        keys, feats = self._synthesis_graph(ycap, prune_caps)(
-            self.params, y_keys, y_hat, jnp.asarray(k))
+        keys, feats = self._reconstruct_graph(ycap, prune_caps)(
+            self.params, y_keys, jnp.asarray(y_sym), dec, jnp.asarray(k))
 
         keys_np = np.asarray(keys)
         v = keys_np != np.iinfo(np.int64).max

@@ -194,9 +194,13 @@ class MeanScaleHyperprior(nn.Module):
         z_sym = (jnp.round(z.feats - med[None, :]) * z.valid[:, None]).astype(jnp.int32)
         return {"z_keys": z.keys, "z_sym": z_sym}
 
-    def decode_params_device(self, y_keys, z_sym, q, z_keys):
-        """Decoder graph after z symbols are entropy-decoded: reconstruct
-        z_hat, run h_s, and return everything needed to decode/dequantize y."""
+    def decode_params_device(self, y_keys, z_sym, q, z_keys=None):
+        """Decoder graph after z symbols are entropy-decoded: derive the z
+        coordinates from the y coordinates, reconstruct z_hat, run h_s, and
+        return everything needed to decode/dequantize y.  The encoder runs
+        this exact graph too (bit-identical parameters on both sides)."""
+        if z_keys is None:
+            z_keys = self.derive_z_keys(y_keys)
         med = self.bottleneck.medians()
         z_valid = z_keys != jnp.iinfo(jnp.int64).max
         z_hat = SparseTensor(keys=z_keys,

@@ -80,8 +80,15 @@ class UnifiedModel(nn.Module):
         enc["y_keys"] = y.keys
         return enc
 
-    def decode_params_device(self, y_keys, z_sym, q, z_keys):
-        return self.entropy_model.decode_params_device(y_keys, z_sym, q, z_keys)
+    def decode_params_device(self, y_keys, z_sym, q):
+        return self.entropy_model.decode_params_device(y_keys, z_sym, q)
+
+    def decode_reconstruct_device(self, y_keys, y_sym, dec, k, prune_caps=None):
+        """Fused decoder back half: dequantize y symbols + synthesis."""
+        y_hat_feats = self.entropy_model.dequantize_y_device(y_sym, dec)
+        y_hat = SparseTensor(keys=y_keys, feats=y_hat_feats, stride=8)
+        x_hat, _, _ = self.g_s(y_hat, k, prune_caps=prune_caps)
+        return x_hat
 
     def decode_synthesis_device(self, y_keys, y_hat_feats, k, prune_caps=None):
         y_hat = SparseTensor(keys=y_keys, feats=y_hat_feats, stride=8)
