@@ -139,3 +139,44 @@ def test_cross_set_conv():
     got = jax.jit(fam2)(st, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_derive_self_neighbors():
+    """Derived neighbor maps must equal directly-searched ones."""
+    st = make_st(9, n=400, extent=32, batches=2, cap=512)
+    def run(keys):
+        pk, pp, sl = F.parents_of(keys, 512)
+        parent_nbr = F.root_neighbors(pk)
+        derived = F.derive_self_neighbors(keys, pp, sl, parent_nbr)
+        direct = F._parent_neighbors(keys)
+        return derived, direct
+    (d_idx, d_ok), (s_idx, s_ok) = jax.jit(run)(st.keys)
+    np.testing.assert_array_equal(np.asarray(d_ok), np.asarray(s_ok))
+    ok = np.asarray(d_ok)
+    np.testing.assert_array_equal(np.asarray(d_idx)[ok], np.asarray(s_idx)[ok])
+
+
+def test_derive_on_child_subset():
+    """Derived maps also work for arbitrary subsets of child expansions
+    (the pruned g_s levels)."""
+    st = make_st(10, n=200, extent=16, batches=1, cap=256)
+    rng = np.random.default_rng(11)
+    def run(keys, keep):
+        from upcc_tpu.ops.topk import prune
+        from upcc_tpu.ops.sparse import upsample_children_keys, SparseTensor
+        nbr_p = F.root_neighbors(keys)
+        children = upsample_children_keys(keys)
+        cf = F.child_family(keys, nbr=nbr_p)
+        # prune half the candidates, carrying parent links through compaction
+        from upcc_tpu.ops.sparse import compact
+        keep = keep & (children != jnp.iinfo(jnp.int64).max)
+        ckeys, cpp, csl = compact(children, keep,
+                                  cf.point_parent, cf.point_slot)
+        derived = F.derive_self_neighbors(ckeys, cpp, csl, nbr_p)
+        direct = F._parent_neighbors(ckeys)
+        return derived, direct
+    keep = jnp.asarray(rng.random(256 * 8) < 0.5)
+    (d_idx, d_ok), (s_idx, s_ok) = jax.jit(run)(st.keys, keep)
+    np.testing.assert_array_equal(np.asarray(d_ok), np.asarray(s_ok))
+    ok = np.asarray(d_ok)
+    np.testing.assert_array_equal(np.asarray(d_idx)[ok], np.asarray(s_idx)[ok])

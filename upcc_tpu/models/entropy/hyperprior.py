@@ -73,42 +73,73 @@ class MeanScaleHyperprior(nn.Module):
         mid = downsample_keys(y_keys, cap0)
         return downsample_keys(mid, cap1)
 
-    def h_a(self, y: SparseTensor):
-        cap0 = int(self.cap_factors[0] * y.capacity)
-        cap1 = int(self.cap_factors[1] * y.capacity)
-        fm_y = F.build_family(y.keys, parent_cap=cap0)
-        t = self.ha1(fm_y, y.feats, y.valid, out_keys_valid=y.valid)
-        t = nn.leaky_relu(t, 0.01)
-        f1 = self.ha2(fm_y, t, y.valid)
-        z1 = SparseTensor(keys=fm_y.parent_keys, feats=nn.leaky_relu(f1, 0.01),
-                          stride=y.stride * 2)
-        fm_z1 = F.build_family(z1.keys, parent_cap=cap1)
-        f2 = self.ha3(fm_z1, z1.feats, z1.valid)
-        return SparseTensor(keys=fm_z1.parent_keys, feats=f2, stride=z1.stride * 2)
+    def _pyramid(self, y_keys):
+        """y(stride8) -> stride16 -> stride32(z) pyramid, one root search."""
+        cap0 = int(self.cap_factors[0] * y_keys.shape[0])
+        cap1 = int(self.cap_factors[1] * y_keys.shape[0])
+        return F.pyramid(y_keys, [cap0, cap1])
 
-    def h_s_params_at(self, z_hat: SparseTensor, y_keys):
-        """Gaussian params (scales, means) evaluated at the y coordinates."""
+    def h_a(self, y: SparseTensor, levels=None):
+        levels = levels or self._pyramid(y.keys)
+
+        def fm(l):
+            nbr = levels[l + 1]["nbr"]
+            return F.FamilyMap(parent_keys=levels[l + 1]["keys"],
+                               point_parent=levels[l]["pp"],
+                               point_slot=levels[l]["sl"],
+                               nbr_idx=nbr[0], nbr_ok=nbr[1])
+
+        t = self.ha1(fm(0), y.feats, y.valid, out_keys_valid=y.valid)
+        t = nn.leaky_relu(t, 0.01)
+        f1 = self.ha2(fm(0), t, y.valid)
+        z1 = SparseTensor(keys=levels[1]["keys"],
+                          feats=nn.leaky_relu(f1, 0.01), stride=y.stride * 2)
+        f2 = self.ha3(fm(1), z1.feats, z1.valid)
+        return SparseTensor(keys=levels[2]["keys"], feats=f2,
+                            stride=z1.stride * 2)
+
+    def h_s_params_at(self, z_hat: SparseTensor, y_keys, levels=None):
+        """Gaussian params (scales, means) evaluated at the y coordinates.
+
+        All coordinate structure derives from the y->z pyramid: T1/T2 are
+        truncated child expansions with trivial parent links, and the cross
+        map from y positions into T2's parent set (=T1) derives from the
+        z-level self map (both stride-16 sets are children of z) — no
+        binary search anywhere in h_s."""
+        levels = levels or self._pyramid(y_keys)
         cap_mid = int(self.cap_factors[2] * y_keys.shape[0])
         cap_top = int(self.cap_factors[3] * y_keys.shape[0])
+        z_keys = z_hat.keys
+        nbr_z = levels[2]["nbr"]
 
-        t1_keys = upsample_children_keys(z_hat.keys)[:cap_mid]
+        t1_keys = upsample_children_keys(z_keys)[:cap_mid]
         f1 = self.hs1(None, z_hat.feats, z_hat.valid)[:cap_mid]
         t1_valid = coords.key_is_valid(t1_keys)
         f1 = nn.leaky_relu(f1, 0.01) * t1_valid[:, None]
+        ar1 = jnp.arange(t1_keys.shape[0], dtype=jnp.int32)
+        nbr_t1 = F.derive_self_neighbors(t1_keys, ar1 >> 3, ar1 & 7, nbr_z)
 
         t2_keys = upsample_children_keys(t1_keys)[:cap_top]
         f2 = self.hs2(None, f1, t1_valid)[:cap_top]
         t2_valid = coords.key_is_valid(t2_keys)
         f2 = nn.leaky_relu(f2, 0.01) * t2_valid[:, None]
+        ar2 = jnp.arange(t2_keys.shape[0], dtype=jnp.int32)
+        fm_t2 = F.FamilyMap(parent_keys=t1_keys, point_parent=ar2 >> 3,
+                            point_slot=ar2 & 7, nbr_idx=nbr_t1[0],
+                            nbr_ok=nbr_t1[1])
 
-        # final 3^3 conv evaluated directly at the y coordinates
-        fm_t2 = F.build_family(t2_keys, parent_cap=cap_mid)
-        dummy_nbr = (jnp.zeros((y_keys.shape[0], 27), jnp.int32),
-                     jnp.zeros((y_keys.shape[0], 27), bool))
-        fm_y = F.build_family(y_keys, parent_cap=y_keys.shape[0],
-                              nbr=dummy_nbr)
-        cross = F.cross_neighbors(fm_y.parent_keys, fm_t2.parent_keys)
         y_valid = coords.key_is_valid(y_keys)
+        s16_keys = levels[1]["keys"]
+        s16_valid = coords.key_is_valid(s16_keys)
+        t1_brick = F.member_brick(ar1 >> 3, ar1 & 7, t1_valid,
+                                  z_keys.shape[0], t1_keys.shape[0])
+        cross = F.derive_neighbors(levels[1]["pp"], levels[1]["sl"],
+                                   s16_valid, nbr_z, t1_brick,
+                                   t1_keys.shape[0])
+        fm_y = F.FamilyMap(parent_keys=s16_keys,
+                           point_parent=levels[0]["pp"],
+                           point_slot=levels[0]["sl"],
+                           nbr_idx=cross[0], nbr_ok=cross[1])
         out = self.hs3(fm_t2, f2, t2_valid, out_fm=fm_y,
                        out_keys_valid=y_valid, nbr_cross=cross)
         scales, means = jnp.split(out, 2, axis=1)
@@ -140,7 +171,8 @@ class MeanScaleHyperprior(nn.Module):
     # ---- training forward --------------------------------------------------
 
     def __call__(self, y: SparseTensor, q, training=True):
-        z = self.h_a(y)
+        levels = self._pyramid(y.keys)
+        z = self.h_a(y, levels)
         z_valid = z.valid
         mode = self.quantization_mode if training else "round"
         rng = self.make_rng("noise") if training else None
@@ -152,7 +184,7 @@ class MeanScaleHyperprior(nn.Module):
         z_lik = jnp.where(z_valid[:, None], z_lik, 1.0)
         z_hat = z.replace(feats=z_hat_f)
 
-        scales_hat, means_hat = self.h_s_params_at(z_hat, y.keys)
+        scales_hat, means_hat = self.h_s_params_at(z_hat, y.keys, levels)
         y_valid = y.valid
         scale, rescale = self.gains(q, y.batch, y_valid)
 
@@ -199,15 +231,16 @@ class MeanScaleHyperprior(nn.Module):
         coordinates from the y coordinates, reconstruct z_hat, run h_s, and
         return everything needed to decode/dequantize y.  The encoder runs
         this exact graph too (bit-identical parameters on both sides)."""
+        levels = self._pyramid(y_keys)
         if z_keys is None:
-            z_keys = self.derive_z_keys(y_keys)
+            z_keys = levels[2]["keys"]
         med = self.bottleneck.medians()
         z_valid = z_keys != jnp.iinfo(jnp.int64).max
         z_hat = SparseTensor(keys=z_keys,
                              feats=(z_sym.astype(jnp.float32) + med[None, :])
                              * z_valid[:, None],
                              stride=32)
-        scales_hat, means_hat = self.h_s_params_at(z_hat, y_keys)
+        scales_hat, means_hat = self.h_s_params_at(z_hat, y_keys, levels)
         y_valid = y_keys != jnp.iinfo(jnp.int64).max
         y_batch = (y_keys >> coords.BATCH_SHIFT).astype(jnp.int32)
         scale, rescale = self.gains(q, y_batch, y_valid)

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 
 from ..ops import coords as C
 from ..ops import family as F
-from ..ops.sparse import SparseTensor, upsample_children_keys
-from ..ops.topk import topk_mask, prune
+from ..ops.sparse import SparseTensor, compact, upsample_children_keys
+from ..ops.topk import topk_mask
 from .gdn import GDN
 from .layers import FamilyConv, FamilyDownConv, FamilyTransposeUp, PointwiseConv
 
@@ -50,40 +50,47 @@ class AnalysisTransform(nn.Module):
 
     @nn.compact
     def __call__(self, x: SparseTensor):
-        """Returns (y at stride 8, k int32[3, max_batch] per-level counts,
-        fm_y: the FamilyMap of the y set, reusable by the entropy model)."""
+        """Returns (y at stride 8, k int32[3, max_batch] per-level counts).
+
+        The whole analysis stack shares one octree pyramid: level sets and
+        parent links come from stable compactions, neighbor maps derive
+        top-down from a single binary search at the stride-16 root
+        (ops/family.py pyramid)."""
         caps = [int(f * x.capacity) for f in self.cap_factors]
+        # levels: 0=input(stride1), 1=s2, 2=s4, 3=s8 (y), 4=s16 (root)
+        levels = F.pyramid(x.keys, caps + [caps[2]])
         k2 = x.counts_per_batch(self.max_batch)
 
-        fm0 = F.build_family(x.keys, parent_cap=caps[0])
+        def fm(l):
+            nbr = levels[l + 1]["nbr"]
+            return F.FamilyMap(parent_keys=levels[l + 1]["keys"],
+                               point_parent=levels[l]["pp"],
+                               point_slot=levels[l]["sl"],
+                               nbr_idx=nbr[0], nbr_ok=nbr[1])
+
         f1 = FamilyDownConv(self.C_in, self.N1, 5, name="conv1")(
-            fm0, x.feats, x.valid)
-        x = SparseTensor(keys=fm0.parent_keys, feats=f1, stride=x.stride * 2)
+            fm(0), x.feats, x.valid)
+        x = SparseTensor(keys=levels[1]["keys"], feats=f1, stride=x.stride * 2)
         x = x.replace(feats=GDN(self.N1, name="gdn1")(x.feats))
         k1 = x.counts_per_batch(self.max_batch)
 
-        fm1 = F.build_family(x.keys, parent_cap=caps[1])
         f2 = FamilyDownConv(self.N1, self.N2, 5, name="conv2")(
-            fm1, x.feats, x.valid)
-        x = SparseTensor(keys=fm1.parent_keys, feats=f2, stride=x.stride * 2)
+            fm(1), x.feats, x.valid)
+        x = SparseTensor(keys=levels[2]["keys"], feats=f2, stride=x.stride * 2)
         x = x.replace(feats=GDN(self.N2, name="gdn2")(x.feats))
         k0 = x.counts_per_batch(self.max_batch)
 
-        fm2 = F.build_family(x.keys, parent_cap=caps[2])
         f3 = FamilyDownConv(self.N2, self.N3, 5, name="conv3")(
-            fm2, x.feats, x.valid)
-        x = SparseTensor(keys=fm2.parent_keys, feats=f3, stride=x.stride * 2)
+            fm(2), x.feats, x.valid)
+        x = SparseTensor(keys=levels[3]["keys"], feats=f3, stride=x.stride * 2)
         x = x.replace(feats=GDN(self.N3, name="gdn3")(x.feats))
 
-        # final 5^3 conv at the y set; its FamilyMap (parents = stride-16
-        # set) is shared with h_a and h_s readout downstream
-        fm_y = F.build_family(x.keys, parent_cap=x.capacity)
         f4 = FamilyConv(self.N3, self.N4, 5, name="conv4")(
-            fm_y, x.feats, x.valid, out_keys_valid=x.valid)
+            fm(3), x.feats, x.valid, out_keys_valid=x.valid)
         x = x.replace(feats=f4)
 
         k = jnp.stack([k0, k1, k2]).astype(jnp.int32)
-        return x, k, fm_y
+        return x, k
 
 
 class OccupancyHead(nn.Module):
@@ -125,11 +132,16 @@ class SparseSynthesisTransform(nn.Module):
         caps = list(prune_caps) if prune_caps is not None else \
             [int(f * base_cap) for f in self.prune_cap_factors]
 
-        # self 27-neighborhood of the y set: shared by up-transpose + head
-        nbr = F._parent_neighbors(y.keys)
+        # y's own pyramid (one small root search at stride 16); every finer
+        # level's neighbor map then derives from the pruned set's carried
+        # parent links — zero further searches
+        ylv = F.pyramid(y.keys, [base_cap])
+        nbr = ylv[0]["nbr"]
+        fm_y = F.FamilyMap(parent_keys=ylv[1]["keys"],
+                           point_parent=ylv[0]["pp"], point_slot=ylv[0]["sl"],
+                           nbr_idx=ylv[1]["nbr"][0], nbr_ok=ylv[1]["nbr"][1])
         f = FamilyConv(self.N4, self.N3, 5, name="up1_conv")(
-            F.build_family(y.keys, parent_cap=base_cap), y.feats, y.valid,
-            out_keys_valid=y.valid)
+            fm_y, y.feats, y.valid, out_keys_valid=y.valid)
         f = GDN(self.N3, inverse=True, name="igdn1")(f)
         x = y.replace(feats=f)
 
@@ -140,10 +152,9 @@ class SparseSynthesisTransform(nn.Module):
             (self.N1, self.N1 // 4, "up3_t", self.N1 // 4, self.N4 // 8, "pred3"),
         ]
         for lvl, (cin, cout, tname, pcin, pchid, pname) in enumerate(specs):
-            if lvl > 0:
-                nbr = F._parent_neighbors(x.keys)
-            child_keys = upsample_children_keys(x.keys)
-            cf = F.child_family(x.keys, nbr=nbr)
+            parent_keys = x.keys
+            child_keys = upsample_children_keys(parent_keys)
+            cf = F.child_family(parent_keys, nbr=nbr)
             cfeats = FamilyTransposeUp(cin, cout, 5, name=tname)(
                 nbr, x.feats, x.valid)
             cvalid = C.key_is_valid(child_keys)
@@ -152,9 +163,17 @@ class SparseSynthesisTransform(nn.Module):
             logits = OccupancyHead(pcin, pchid, name=pname)(cf, cfeats, cvalid)
             cands.append(cand)
             logits_list.append(logits)
-            keep = topk_mask(cand, logits, k[lvl])
-            x = prune(cand, keep, capacity=caps[lvl])
+            keep = topk_mask(cand, logits, k[lvl]) & cvalid
+            # prune with parent links carried through the compaction
+            pk, pf, ppar, pslot = compact(child_keys, keep, cand.feats,
+                                          cf.point_parent, cf.point_slot)
+            pk, pf = pk[:caps[lvl]], pf[:caps[lvl]]
+            ppar, pslot = ppar[:caps[lvl]], pslot[:caps[lvl]]
+            pvalid = C.key_is_valid(pk)
+            ppar = jnp.where(pvalid, ppar, parent_keys.shape[0])
+            x = SparseTensor(keys=pk, feats=pf, stride=x.stride // 2)
             if lvl < 2:
+                nbr = F.derive_self_neighbors(pk, ppar, pslot, nbr)
                 x = x.replace(feats=GDN(cout, inverse=True,
                                         name=f"igdn{lvl + 2}")(x.feats))
 

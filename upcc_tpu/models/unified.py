@@ -50,7 +50,7 @@ class UnifiedModel(nn.Module):
           likelihoods: {'y': [Ny,C], 'z': [Nz,Ch]}
         """
         xin = occupancy_color_features(x)
-        y, k, _ = self.g_a(xin)
+        y, k = self.g_a(xin)
         y_hat, (lik_y, lik_z) = self.entropy_model(y, q, training=training)
         x_hat, candidates, occ_logits = self.g_s(y_hat, k)
 
@@ -98,7 +98,7 @@ class UnifiedModel(nn.Module):
     def ga_device(self, x: SparseTensor):
         """Encoder front: analysis transform only."""
         xin = occupancy_color_features(x)
-        y, k, _ = self.g_a(xin)
+        y, k = self.g_a(xin)
         return {"y_keys": y.keys, "y_feats": y.feats, "k": k}
 
     def hyper_analyze_device(self, y_keys, y_feats):

@@ -108,6 +108,111 @@ def _parent_neighbors(parent_keys):
     return idx.reshape(nk.shape), found.reshape(nk.shape)
 
 
+def _derive_tables():
+    """Static [8, 27] tables for neighbor-map derivation: for (slot, eps)
+    the parent-level offset code and the target child slot.
+
+    target unit = 2*up + slot + eps; its parent = up + floor((slot+eps)/2),
+    its slot = (slot+eps) mod 2 — per axis."""
+    ecode = np.zeros((8, 27), np.int32)
+    slot2 = np.zeros((8, 27), np.int32)
+    for s in range(8):
+        sv = np.array([(s >> 2) & 1, (s >> 1) & 1, s & 1])
+        for ei, e in enumerate(_EPS_OFFSETS):
+            t = sv + e
+            pe = np.floor_divide(t, 2)
+            sl = t - 2 * pe
+            ecode[s, ei] = (pe[0] + 1) * 9 + (pe[1] + 1) * 3 + (pe[2] + 1)
+            slot2[s, ei] = (sl[0] << 2) | (sl[1] << 1) | sl[2]
+    return ecode, slot2
+
+
+_ECODE, _SLOT2 = _derive_tables()
+
+
+def parents_of(keys, parent_cap):
+    """(parent_keys, point_parent, point_slot) of a sorted key set —
+    dedup by stable compaction, no search."""
+    fm = build_family(keys, parent_cap=parent_cap,
+                      nbr=(jnp.zeros((parent_cap, 27), jnp.int32),
+                           jnp.zeros((parent_cap, 27), bool)))
+    return fm.parent_keys, fm.point_parent, fm.point_slot
+
+
+def member_brick(point_parent, point_slot, valid, p_cap, n_members):
+    """[P+1, 8] int32: index of the member at (parent, slot), else n_members.
+    Invalid rows go to the dump row so they cannot clobber slot (0, 0)."""
+    n = point_parent.shape[0]
+    return jnp.full((p_cap + 1, 8), n_members, jnp.int32).at[
+        jnp.where(valid, jnp.minimum(point_parent, p_cap), p_cap),
+        point_slot].set(
+        jnp.where(valid, jnp.arange(n, dtype=jnp.int32), n_members),
+        mode="drop", unique_indices=True)
+
+
+def derive_neighbors(q_parent, q_slot, q_valid, parent_nbr, target_brick,
+                     n_targets):
+    """27-neighborhood of query nodes into a target set, derived from the
+    shared parent level's self map in O(1) gathers per (node, offset).
+
+    Queries and targets both live one octree level below P: query node =
+    child q_slot of P[q_parent]; target membership is given by
+    ``target_brick`` (from member_brick).  Returns (idx int32[N,27],
+    ok bool[N,27]) into the target set."""
+    p_nbr_idx, p_nbr_ok = parent_nbr
+    p_cap = p_nbr_idx.shape[0]
+    pp = jnp.minimum(q_parent, p_cap - 1)
+    rows_idx = p_nbr_idx[pp]          # [N, 27] wide row gather
+    rows_ok = p_nbr_ok[pp]
+    ec = jnp.asarray(_ECODE)[q_slot]  # [N, 27]
+    s2 = jnp.asarray(_SLOT2)[q_slot]
+    tgt_parent = jnp.take_along_axis(rows_idx, ec, axis=1)
+    tgt_ok = jnp.take_along_axis(rows_ok, ec, axis=1)
+    idx = target_brick[jnp.minimum(tgt_parent, p_cap), s2]
+    ok = tgt_ok & (idx < n_targets) & q_valid[:, None] \
+        & (q_parent < p_cap)[:, None]
+    return jnp.minimum(idx, n_targets - 1), ok
+
+
+def derive_self_neighbors(keys, point_parent, point_slot, parent_nbr):
+    """Self 27-neighborhood map of a set S ⊆ children(P), derived from P's
+    own self map — no binary search."""
+    n = keys.shape[0]
+    valid = C.key_is_valid(keys)
+    p_cap = parent_nbr[0].shape[0]
+    sb = member_brick(point_parent, point_slot, valid, p_cap, n)
+    return derive_neighbors(point_parent, point_slot, valid, parent_nbr, sb, n)
+
+
+def pyramid(keys, caps):
+    """Octree level pyramid with derived neighbor maps.
+
+    keys: finest-level sorted key set.  caps: static capacities of each
+    coarser level (len = number of downsamples).  Returns a list of level
+    dicts, finest first:
+      {keys, pp (parent link into the next level), sl, nbr (self map)}
+    The only binary search happens at the coarsest level."""
+    levels = [{"keys": keys}]
+    cur = keys
+    for cap in caps:
+        pk, pp, sl = parents_of(cur, cap)
+        levels[-1]["pp"] = pp
+        levels[-1]["sl"] = sl
+        levels.append({"keys": pk})
+        cur = pk
+    levels[-1]["nbr"] = root_neighbors(levels[-1]["keys"])
+    for i in range(len(levels) - 2, -1, -1):
+        levels[i]["nbr"] = derive_self_neighbors(
+            levels[i]["keys"], levels[i]["pp"], levels[i]["sl"],
+            levels[i + 1]["nbr"])
+    return levels
+
+
+def root_neighbors(keys):
+    """Self map by direct binary search — used once, at the coarsest level."""
+    return _parent_neighbors(keys)
+
+
 def cross_neighbors(out_parent_keys, in_parent_keys):
     """27-neighborhood map from output parents into a *different* input
     parent set (e.g. h_s's final conv evaluated at the y coordinates)."""
