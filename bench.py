@@ -49,15 +49,12 @@ def main():
     codec = Codec(model, params)
     codec.update()
 
-    # vox10-scale frame: ~760k surface points in a 1024^3 grid (the 8iVFBv2
-    # full-body frames used by the reference eval are 700k-1M points)
-    frame_parts = []
-    for i in range(4):
-        xyz_i, rgb_i = surface_cloud(np.random.default_rng(10 + i),
-                                     extent=512, n_target=190_000)
-        xyz_i = xyz_i + np.array([[512 * (i % 2), 512 * (i // 2), 0]], np.int32)
-        frame_parts.append(np.concatenate([xyz_i.astype(np.float32), rgb_i], 1))
-    frame = np.concatenate(frame_parts)
+    # vox10-scale frame: ~760k dense surface points in a 1024^3 grid (the
+    # 8iVFBv2 full-body frames used by the reference eval are 700k-1M
+    # points on connected surfaces)
+    xyz_f, rgb_f = surface_cloud(np.random.default_rng(10), extent=1024,
+                                 n_target=760_000)
+    frame = np.concatenate([xyz_f.astype(np.float32), rgb_f], 1)
     n_points = len(frame)
 
     # warmup (compile)

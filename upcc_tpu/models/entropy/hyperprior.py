@@ -247,7 +247,13 @@ class MeanScaleHyperprior(nn.Module):
         indexes = gaussian.build_indexes(scales_hat * scale)
         return {"indexes": indexes, "scales_hat": scales_hat,
                 "means_hat": means_hat, "scale": scale, "rescale": rescale,
-                "y_valid": y_valid}
+                "y_valid": y_valid,
+                # stride-16 structure for the synthesis graph (saves its
+                # root search — arrays stay on device between dispatches)
+                "y_struct": {"parent_keys": levels[1]["keys"],
+                             "pp": levels[0]["pp"], "sl": levels[0]["sl"],
+                             "nbr_idx": levels[1]["nbr"][0],
+                             "nbr_ok": levels[1]["nbr"][1]}}
 
     def dequantize_y_device(self, y_sym, dec):
         """Turn decoded integer y symbols into y_hat features."""

@@ -121,10 +121,13 @@ class SparseSynthesisTransform(nn.Module):
     prune_cap_factors: Sequence[float] = (2.0, 4.0, 8.0)
 
     @nn.compact
-    def __call__(self, y: SparseTensor, k, prune_caps=None):
+    def __call__(self, y: SparseTensor, k, prune_caps=None, y_struct=None):
         """y: latents (stride 8). k: int32[3, max_batch] target counts.
         prune_caps: optional static (c1, c2, c3) pruned-level capacities
         (the decoder sizes these from the transmitted k).
+        y_struct: optional precomputed stride-16 structure
+        {parent_keys, pp, sl, nbr_idx, nbr_ok} (the decoder reuses the
+        params graph's pyramid so g_s performs zero searches).
 
         Returns (x_hat, candidates, logits_list) as in the reference
         training path (model.py:79, transforms.py:214-222)."""
@@ -132,14 +135,25 @@ class SparseSynthesisTransform(nn.Module):
         caps = list(prune_caps) if prune_caps is not None else \
             [int(f * base_cap) for f in self.prune_cap_factors]
 
-        # y's own pyramid (one small root search at stride 16); every finer
-        # level's neighbor map then derives from the pruned set's carried
-        # parent links — zero further searches
-        ylv = F.pyramid(y.keys, [base_cap])
-        nbr = ylv[0]["nbr"]
-        fm_y = F.FamilyMap(parent_keys=ylv[1]["keys"],
-                           point_parent=ylv[0]["pp"], point_slot=ylv[0]["sl"],
-                           nbr_idx=ylv[1]["nbr"][0], nbr_ok=ylv[1]["nbr"][1])
+        if y_struct is not None:
+            fm_y = F.FamilyMap(parent_keys=y_struct["parent_keys"],
+                               point_parent=y_struct["pp"],
+                               point_slot=y_struct["sl"],
+                               nbr_idx=y_struct["nbr_idx"],
+                               nbr_ok=y_struct["nbr_ok"])
+            nbr = F.derive_self_neighbors(
+                y.keys, y_struct["pp"], y_struct["sl"],
+                (y_struct["nbr_idx"], y_struct["nbr_ok"]))
+        else:
+            # y's own pyramid (one small root search at stride 16); every
+            # finer level's map derives from carried parent links
+            ylv = F.pyramid(y.keys, [base_cap])
+            nbr = ylv[0]["nbr"]
+            fm_y = F.FamilyMap(parent_keys=ylv[1]["keys"],
+                               point_parent=ylv[0]["pp"],
+                               point_slot=ylv[0]["sl"],
+                               nbr_idx=ylv[1]["nbr"][0],
+                               nbr_ok=ylv[1]["nbr"][1])
         f = FamilyConv(self.N4, self.N3, 5, name="up1_conv")(
             fm_y, y.feats, y.valid, out_keys_valid=y.valid)
         f = GDN(self.N3, inverse=True, name="igdn1")(f)

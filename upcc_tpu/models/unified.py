@@ -87,7 +87,8 @@ class UnifiedModel(nn.Module):
         """Fused decoder back half: dequantize y symbols + synthesis."""
         y_hat_feats = self.entropy_model.dequantize_y_device(y_sym, dec)
         y_hat = SparseTensor(keys=y_keys, feats=y_hat_feats, stride=8)
-        x_hat, _, _ = self.g_s(y_hat, k, prune_caps=prune_caps)
+        x_hat, _, _ = self.g_s(y_hat, k, prune_caps=prune_caps,
+                               y_struct=dec.get("y_struct"))
         return x_hat
 
     def decode_synthesis_device(self, y_keys, y_hat_feats, k, prune_caps=None):
