@@ -41,6 +41,25 @@ class Codec:
         self._jits = {}
         self.debug = False
         self.debug_info = []
+        self.profile = False
+        self.stage_times = {}
+
+    def _t(self, name, fn, *args, sync=None):
+        """Run a stage; when profiling, block and accumulate wall time."""
+        if not self.profile:
+            return fn(*args)
+        import time
+        t0 = time.time()
+        out = fn(*args)
+        # force completion with an 8-byte fetch (block_until_ready alone is
+        # unreliable through the device tunnel)
+        for leaf in jax.tree_util.tree_leaves(out):
+            if isinstance(leaf, jax.Array):
+                float(leaf.ravel()[0].astype(jnp.float32))
+                break
+        self.stage_times[name] = self.stage_times.get(name, 0.0) \
+            + time.time() - t0
+        return out
 
     # -- table freezing (reference model.update(), model.py:30-34) ----------
 
@@ -58,6 +77,20 @@ class Codec:
         if name not in self._jits:
             self._jits[name] = builder()
         return self._jits[name]
+
+    def _rebucket(self, src_cap, dst_cap):
+        def build():
+            def fn(keys, feats):
+                if dst_cap <= src_cap:
+                    return keys[:dst_cap], feats[:dst_cap]
+                pad = dst_cap - src_cap
+                k = jnp.concatenate([keys, jnp.full((pad,), C.SENTINEL,
+                                                    keys.dtype)])
+                f = jnp.concatenate([feats, jnp.zeros((pad, feats.shape[1]),
+                                                      feats.dtype)])
+                return k, f
+            return jax.jit(fn)
+        return self._jit(("rebucket", src_cap, dst_cap), build)
 
     def _analyze(self, cap):
         def build():
@@ -144,27 +177,24 @@ class Codec:
         b = np.zeros(n, np.int32)
         st = from_points_host(b, local_xyz, rgb, capacity=cap)
 
-        enc = self._analyze(cap)(self.params, st.keys, st.feats)
+        enc = self._t("enc.analyze", self._analyze(cap), self.params, st.keys, st.feats)
 
-        # re-bucket y to the decoder's capacity (bucket of the true count):
-        # keys are sorted with sentinels at the tail, so the valid rows are a
-        # prefix and host slicing/padding preserves order
-        y_keys_full = np.asarray(enc["y_keys"])
-        n_y = int((y_keys_full != np.iinfo(np.int64).max).sum())
+        # re-bucket y to the decoder's capacity (bucket of the true count).
+        # Valid rows are a sorted prefix, so this is a device-side slice/pad;
+        # only the scalar count crosses the tunnel.
+        n_y = int(jnp.sum(enc["y_keys"] != jnp.iinfo(jnp.int64).max))
         ycap = _bucket(n_y)
-        y_keys_np = np.full(ycap, np.iinfo(np.int64).max, np.int64)
-        y_feats_np = np.zeros((ycap, enc["y_feats"].shape[1]), np.float32)
-        m = min(ycap, y_keys_full.shape[0])
-        y_keys_np[:m] = y_keys_full[:m]
-        y_feats_np[:m] = np.asarray(enc["y_feats"])[:m]
-        y_keys = jnp.asarray(y_keys_np)
-        y_feats = jnp.asarray(y_feats_np)
+        y_keys, y_feats = self._rebucket(int(enc["y_keys"].shape[0]), ycap)(
+            enc["y_keys"], enc["y_feats"])
+        y_keys_np = np.asarray(y_keys)
 
-        hyp = self._hyper_analyze(ycap)(self.params, y_keys, y_feats)
+        hyp = self._t("enc.hyper", self._hyper_analyze(ycap), self.params,
+                      y_keys, y_feats)
         z_keys = hyp["z_keys"]
-        dec = self._params_graph(ycap, int(z_keys.shape[0]))(
-            self.params, y_keys, hyp["z_sym"], qv)
-        y_sym = self._symbols_graph(ycap)(self.params, y_feats, dec)
+        dec = self._t("enc.params", self._params_graph(ycap, int(z_keys.shape[0])),
+                      self.params, y_keys, hyp["z_sym"], qv)
+        y_sym = self._t("enc.symbols", self._symbols_graph(ycap),
+                        self.params, y_feats, dec)
 
         # host: compact valid rows and entropy-code
         yv = y_keys_np != np.iinfo(np.int64).max
@@ -173,19 +203,23 @@ class Codec:
         n_z = int(zv.sum())
 
         zt, yt = self.tables["z"], self.tables["y"]
-        z_vals = np.asarray(hyp["z_sym"])[zv].reshape(-1)
-        ch = z_vals.size // max(n_z, 1)
+        # valid rows are a sorted prefix: fetch only the prefix slices
+        z_vals = self._t("enc.fetch_z", lambda: np.asarray(
+            jax.lax.dynamic_slice_in_dim(hyp["z_sym"], 0, _bucket(n_z, 64), 0)))[:n_z].reshape(-1)
+        ch = hyp["z_sym"].shape[1]
         z_idx = np.tile(np.arange(ch, dtype=np.int32), n_z)
-        z_bytes = rans.encode_with_indexes(z_vals, z_idx, zt["cdf"],
-                                           zt["cdf_length"], zt["offset"])
+        z_bytes = self._t("enc.rans_z", rans.encode_with_indexes,
+                          z_vals, z_idx, zt["cdf"], zt["cdf_length"], zt["offset"])
 
-        y_vals = np.asarray(y_sym)[yv].reshape(-1)
-        y_idx = np.asarray(dec["indexes"])[yv].reshape(-1)
-        y_bytes = rans.encode_with_indexes(y_vals, y_idx, yt["cdf"],
-                                           yt["cdf_length"], yt["offset"])
+        ypre = _bucket(n_y, 64)
+        y_vals = self._t("enc.fetch_y", lambda: np.asarray(
+            y_sym[:ypre]))[:n_y].reshape(-1)
+        y_idx = np.asarray(dec["indexes"][:ypre])[:n_y].reshape(-1)
+        y_bytes = self._t("enc.rans_y", rans.encode_with_indexes,
+                          y_vals, y_idx, yt["cdf"], yt["cdf_length"], yt["offset"])
 
         morton = y_keys_np[yv] & ((1 << C.BATCH_SHIFT) - 1)
-        coord_bytes = octree.encode(morton, levels)
+        coord_bytes = self._t("enc.octree", octree.encode, morton, levels)
 
         if self.debug:
             self.debug_info.append({
@@ -229,8 +263,9 @@ class Codec:
         n_z = blk["n_z"]
         ch = zt["cdf"].shape[0]
         z_idx = np.tile(np.arange(ch, dtype=np.int32), n_z)
-        z_vals = rans.decode_with_indexes(blk["z_bytes"], z_idx, zt["cdf"],
-                                          zt["cdf_length"], zt["offset"])
+        z_vals = self._t("dec.rans_z", rans.decode_with_indexes,
+                         blk["z_bytes"], z_idx, zt["cdf"],
+                         zt["cdf_length"], zt["offset"])
         from ..models.entropy.hyperprior import MeanScaleHyperprior
         zf = self.model.config["entropy_model"].get(
             "cap_factors", MeanScaleHyperprior.cap_factors)
@@ -239,16 +274,20 @@ class Codec:
         z_sym[:n_z] = z_vals.reshape(n_z, ch)
 
         qv = jnp.asarray(np.asarray(blk["q"], np.float32).reshape(1, 2))
-        dec = self._params_graph(ycap, zcap)(self.params, y_keys,
-                                             jnp.asarray(z_sym), qv)
+        dec = self._t("dec.params", self._params_graph(ycap, zcap),
+                      self.params, y_keys, jnp.asarray(z_sym), qv)
 
-        yv = y_keys_np != np.iinfo(np.int64).max
-        y_idx = np.asarray(dec["indexes"])[yv].reshape(-1)
-        y_vals = rans.decode_with_indexes(blk["y_bytes"], y_idx, yt["cdf"],
-                                          yt["cdf_length"], yt["offset"])
+        n_y = blk["n_y"]
+        ypre = _bucket(n_y, 64)
+        y_idx = self._t("dec.fetch_idx", lambda: np.asarray(
+            dec["indexes"][:ypre]))[:n_y].reshape(-1)
+        y_vals = self._t("dec.rans_y", rans.decode_with_indexes,
+                         blk["y_bytes"], y_idx, yt["cdf"],
+                         yt["cdf_length"], yt["offset"])
         cb = self.model.config["entropy_model"]["C_bottleneck"]
         y_sym = np.zeros((ycap, cb), np.int32)
-        y_sym[np.where(yv)[0]] = y_vals.reshape(blk["n_y"], cb)
+        y_sym[:n_y] = y_vals.reshape(n_y, cb)
+        yv = y_keys_np != np.iinfo(np.int64).max
 
         if self.debug:
             self.debug_info.append({
@@ -260,12 +299,14 @@ class Codec:
         k = np.zeros((3, self.model.config.get("max_batch", 8)), np.int32)
         k[:, 0] = blk["k"]
         prune_caps = tuple(_bucket(int(v)) for v in blk["k"])
-        keys, feats = self._reconstruct_graph(ycap, prune_caps)(
-            self.params, y_keys, jnp.asarray(y_sym), dec, jnp.asarray(k))
+        keys, feats = self._t("dec.reconstruct",
+                              self._reconstruct_graph(ycap, prune_caps),
+                              self.params, y_keys, jnp.asarray(y_sym), dec,
+                              jnp.asarray(k))
 
-        keys_np = np.asarray(keys)
+        keys_np = self._t("dec.fetch_out", lambda: np.asarray(keys))
         v = keys_np != np.iinfo(np.int64).max
-        units = np.asarray(C.key_units(jnp.asarray(keys_np[v])))
+        units = C.morton_decode_np(keys_np[v] & ((1 << C.BATCH_SHIFT) - 1))
         colors = np.asarray(feats)[v]
         colors = np.clip(np.round(colors * 255.0), 0.0, 255.0) / 255.0
         xyz = units + np.asarray(blk["origin"], np.int32)

@@ -46,7 +46,7 @@ class AnalysisTransform(nn.Module):
     max_batch: int = 8
     # static capacity of each downsampled level as a fraction of the input
     # capacity; overflow degrades gracefully (self-consistent clipping)
-    cap_factors: Sequence[float] = (0.5, 0.5, 0.5)
+    cap_factors: Sequence[float] = (0.5, 0.25, 0.125)
 
     @nn.compact
     def __call__(self, x: SparseTensor):

@@ -86,6 +86,21 @@ def morton_encode_np(units):
     return out
 
 
+def morton_decode_np(codes):
+    """numpy twin of morton_decode (host-side output conversion)."""
+    codes = np.asarray(codes)
+    out = np.zeros(codes.shape + (3,), np.int32)
+    for axis, shift in ((0, 2), (1, 1), (2, 0)):
+        v = (codes >> shift) & 0x1249249249249249
+        v = (v ^ (v >> 2)) & 0x10C30C30C30C30C3
+        v = (v ^ (v >> 4)) & 0x100F00F00F00F00F
+        v = (v ^ (v >> 8)) & 0x1F0000FF0000FF
+        v = (v ^ (v >> 16)) & 0x1F00000000FFFF
+        v = (v ^ (v >> 32)) & 0x1FFFFF
+        out[..., axis] = v.astype(np.int32)
+    return out
+
+
 def make_keys(batch, units):
     """Pack (batch int [...], units int [...,3]) into sorted-comparable keys."""
     b = batch.astype(jnp.int64) << BATCH_SHIFT
