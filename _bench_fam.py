@@ -24,14 +24,17 @@ log("init done")
 codec = Codec(model, params); codec.update()
 log("tables done")
 
-# dense vox10-scale frame: one 1024^3 block, ~760k surface points
 xyz, rgb = surface_cloud(np.random.default_rng(5), extent=1024, n_target=760_000)
 frame = np.concatenate([xyz.astype(np.float32), rgb], 1)
 log(f"frame: {len(frame)} pts")
 t0=time.time(); data = codec.compress(frame, q=(0.5,0.5), block_size=1024); t1=time.time()
 out = codec.decompress(data); t2=time.time()
 log(f"first enc {t1-t0:.1f}s dec {t2-t1:.1f}s")
+codec.profile = True
 for rep in range(2):
+    codec.stage_times = {}
     t3=time.time(); data = codec.compress(frame, q=(0.5,0.5), block_size=1024); t4=time.time()
     out = codec.decompress(data); t5=time.time()
     log(f"warm enc {t4-t3:.2f}s dec {t5-t4:.2f}s bpp {len(data)*8/len(frame):.2f} out {out.shape}")
+    for k2, v in sorted(codec.stage_times.items()):
+        log(f"  {k2}: {v:.2f}s")
