@@ -77,7 +77,7 @@ class MeanScaleHyperprior(nn.Module):
         """y(stride8) -> stride16 -> stride32(z) pyramid, one root search."""
         cap0 = int(self.cap_factors[0] * y_keys.shape[0])
         cap1 = int(self.cap_factors[1] * y_keys.shape[0])
-        return F.pyramid(y_keys, [cap0, cap1])
+        return F.pyramid(y_keys, [cap0, cap1], skip_finest_nbr=True)
 
     def h_a(self, y: SparseTensor, levels=None):
         levels = levels or self._pyramid(y.keys)

@@ -58,7 +58,7 @@ class AnalysisTransform(nn.Module):
         (ops/family.py pyramid)."""
         caps = [int(f * x.capacity) for f in self.cap_factors]
         # levels: 0=input(stride1), 1=s2, 2=s4, 3=s8 (y), 4=s16 (root)
-        levels = F.pyramid(x.keys, caps + [caps[2]])
+        levels = F.pyramid(x.keys, caps + [caps[2]], skip_finest_nbr=True)
         k2 = x.counts_per_batch(self.max_batch)
 
         def fm(l):

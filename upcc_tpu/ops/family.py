@@ -158,17 +158,29 @@ def derive_neighbors(q_parent, q_slot, q_valid, parent_nbr, target_brick,
     Queries and targets both live one octree level below P: query node =
     child q_slot of P[q_parent]; target membership is given by
     ``target_brick`` (from member_brick).  Returns (idx int32[N,27],
-    ok bool[N,27]) into the target set."""
+    ok bool[N,27]) into the target set.
+
+    Column selection by slot uses an 8-way static-permutation select
+    (jnp.take_along_axis lowers to a gather that is ~10x slower than the
+    equivalent elementwise selects on TPU)."""
     p_nbr_idx, p_nbr_ok = parent_nbr
     p_cap = p_nbr_idx.shape[0]
     pp = jnp.minimum(q_parent, p_cap - 1)
     rows_idx = p_nbr_idx[pp]          # [N, 27] wide row gather
     rows_ok = p_nbr_ok[pp]
-    ec = jnp.asarray(_ECODE)[q_slot]  # [N, 27]
-    s2 = jnp.asarray(_SLOT2)[q_slot]
-    tgt_parent = jnp.take_along_axis(rows_idx, ec, axis=1)
-    tgt_ok = jnp.take_along_axis(rows_ok, ec, axis=1)
-    idx = target_brick[jnp.minimum(tgt_parent, p_cap), s2]
+
+    # per-slot static column permutation of the parent's 27 neighbors
+    tgt_parent = rows_idx[:, _ECODE[0]]
+    tgt_ok = rows_ok[:, _ECODE[0]]
+    for s in range(1, 8):
+        sel = (q_slot == s)[:, None]
+        tgt_parent = jnp.where(sel, rows_idx[:, _ECODE[s]], tgt_parent)
+        tgt_ok = jnp.where(sel, rows_ok[:, _ECODE[s]], tgt_ok)
+    s2 = jnp.asarray(_SLOT2)[q_slot]  # [N, 27] small-table row gather
+
+    # flattened 1-D gather into the membership brick
+    flat = target_brick.reshape(-1)
+    idx = flat[jnp.minimum(tgt_parent, p_cap) * 8 + s2]
     ok = tgt_ok & (idx < n_targets) & q_valid[:, None] \
         & (q_parent < p_cap)[:, None]
     return jnp.minimum(idx, n_targets - 1), ok
@@ -184,14 +196,16 @@ def derive_self_neighbors(keys, point_parent, point_slot, parent_nbr):
     return derive_neighbors(point_parent, point_slot, valid, parent_nbr, sb, n)
 
 
-def pyramid(keys, caps):
+def pyramid(keys, caps, skip_finest_nbr=False):
     """Octree level pyramid with derived neighbor maps.
 
     keys: finest-level sorted key set.  caps: static capacities of each
     coarser level (len = number of downsamples).  Returns a list of level
     dicts, finest first:
       {keys, pp (parent link into the next level), sl, nbr (self map)}
-    The only binary search happens at the coarsest level."""
+    The only binary search happens at the coarsest level.
+    skip_finest_nbr: don't derive the finest level's self map (down-conv
+    stacks never use it — it's the most expensive one)."""
     levels = [{"keys": keys}]
     cur = keys
     for cap in caps:
@@ -201,7 +215,8 @@ def pyramid(keys, caps):
         levels.append({"keys": pk})
         cur = pk
     levels[-1]["nbr"] = root_neighbors(levels[-1]["keys"])
-    for i in range(len(levels) - 2, -1, -1):
+    stop = 1 if skip_finest_nbr else 0
+    for i in range(len(levels) - 2, stop - 1, -1):
         levels[i]["nbr"] = derive_self_neighbors(
             levels[i]["keys"], levels[i]["pp"], levels[i]["sl"],
             levels[i + 1]["nbr"])
