@@ -25,6 +25,7 @@ from ..coding import octree, rans
 from ..models.entropy import gaussian
 from ..models.entropy.bottleneck import build_cdf_tables
 from ..ops import coords as C
+from ..ops import family as F
 from ..ops.sparse import SparseTensor
 from . import bitstream
 
@@ -94,25 +95,28 @@ class Codec:
 
     def _analyze(self, cap):
         def build():
-            def fn(params, keys, feats):
+            def fn(params, keys, feats, rn_idx, rn_ok):
                 x = SparseTensor(keys=keys, feats=feats, stride=1)
                 return self.model.apply({"params": params}, x,
+                                        (rn_idx, rn_ok),
                                         method=self.model.ga_device)
             return jax.jit(fn)
         return self._jit(("analyze", cap), build)
 
     def _hyper_analyze(self, ycap):
         def build():
-            def fn(params, y_keys, y_feats):
+            def fn(params, y_keys, y_feats, rn_idx, rn_ok):
                 return self.model.apply({"params": params}, y_keys, y_feats,
+                                        (rn_idx, rn_ok),
                                         method=self.model.hyper_analyze_device)
             return jax.jit(fn)
         return self._jit(("hyper", ycap), build)
 
     def _params_graph(self, ycap, zcap):
         def build():
-            def fn(params, y_keys, z_sym, q):
+            def fn(params, y_keys, z_sym, q, rn_idx, rn_ok):
                 return self.model.apply({"params": params}, y_keys, z_sym, q,
+                                        (rn_idx, rn_ok),
                                         method=self.model.decode_params_device)
             return jax.jit(fn)
         return self._jit(("params", ycap, zcap), build)
@@ -177,7 +181,19 @@ class Codec:
         b = np.zeros(n, np.int32)
         st = from_points_host(b, local_xyz, rgb, capacity=cap)
 
-        enc = self._t("enc.analyze", self._analyze(cap), self.params, st.keys, st.feats)
+        # host-computed root neighbor maps (device dependent-gather searches
+        # cost seconds at these caps; numpy does them in microseconds)
+        from ..models.entropy.hyperprior import MeanScaleHyperprior
+        zf = self.model.config["entropy_model"].get(
+            "cap_factors", MeanScaleHyperprior.cap_factors)
+        ga_factors = self.model.config["g_a"].get("cap_factors",
+                                                  (0.5, 0.25, 0.125))
+        ga_root_cap = int(ga_factors[2] * cap)
+        keys_host = np.asarray(st.keys)
+        _, ga_rn_idx, ga_rn_ok = F.host_root_neighbors(keys_host, 4, ga_root_cap)
+
+        enc = self._t("enc.analyze", self._analyze(cap), self.params, st.keys,
+                      st.feats, jnp.asarray(ga_rn_idx), jnp.asarray(ga_rn_ok))
 
         # re-bucket y to the decoder's capacity (bucket of the true count).
         # Valid rows are a sorted prefix, so this is a device-side slice/pad;
@@ -188,11 +204,14 @@ class Codec:
             enc["y_keys"], enc["y_feats"])
         y_keys_np = np.asarray(y_keys)
 
+        z_root_cap = int(zf[1] * ycap)
+        _, z_rn_idx, z_rn_ok = F.host_root_neighbors(y_keys_np, 2, z_root_cap)
+        z_rn = (jnp.asarray(z_rn_idx), jnp.asarray(z_rn_ok))
         hyp = self._t("enc.hyper", self._hyper_analyze(ycap), self.params,
-                      y_keys, y_feats)
+                      y_keys, y_feats, *z_rn)
         z_keys = hyp["z_keys"]
         dec = self._t("enc.params", self._params_graph(ycap, int(z_keys.shape[0])),
-                      self.params, y_keys, hyp["z_sym"], qv)
+                      self.params, y_keys, hyp["z_sym"], qv, *z_rn)
         y_sym = self._t("enc.symbols", self._symbols_graph(ycap),
                         self.params, y_feats, dec)
 
@@ -274,8 +293,10 @@ class Codec:
         z_sym[:n_z] = z_vals.reshape(n_z, ch)
 
         qv = jnp.asarray(np.asarray(blk["q"], np.float32).reshape(1, 2))
+        _, z_rn_idx, z_rn_ok = F.host_root_neighbors(y_keys_np, 2, zcap)
         dec = self._t("dec.params", self._params_graph(ycap, zcap),
-                      self.params, y_keys, jnp.asarray(z_sym), qv)
+                      self.params, y_keys, jnp.asarray(z_sym), qv,
+                      jnp.asarray(z_rn_idx), jnp.asarray(z_rn_ok))
 
         n_y = blk["n_y"]
         ypre = _bucket(n_y, 64)

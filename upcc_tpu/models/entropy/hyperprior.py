@@ -73,11 +73,12 @@ class MeanScaleHyperprior(nn.Module):
         mid = downsample_keys(y_keys, cap0)
         return downsample_keys(mid, cap1)
 
-    def _pyramid(self, y_keys):
+    def _pyramid(self, y_keys, root_nbr=None):
         """y(stride8) -> stride16 -> stride32(z) pyramid, one root search."""
         cap0 = int(self.cap_factors[0] * y_keys.shape[0])
         cap1 = int(self.cap_factors[1] * y_keys.shape[0])
-        return F.pyramid(y_keys, [cap0, cap1], skip_finest_nbr=True)
+        return F.pyramid(y_keys, [cap0, cap1], skip_finest_nbr=True,
+                         root_nbr=root_nbr)
 
     def h_a(self, y: SparseTensor, levels=None):
         levels = levels or self._pyramid(y.keys)
@@ -226,12 +227,13 @@ class MeanScaleHyperprior(nn.Module):
         z_sym = (jnp.round(z.feats - med[None, :]) * z.valid[:, None]).astype(jnp.int32)
         return {"z_keys": z.keys, "z_sym": z_sym}
 
-    def decode_params_device(self, y_keys, z_sym, q, z_keys=None):
+    def decode_params_device(self, y_keys, z_sym, q, z_keys=None,
+                             root_nbr=None):
         """Decoder graph after z symbols are entropy-decoded: derive the z
         coordinates from the y coordinates, reconstruct z_hat, run h_s, and
         return everything needed to decode/dequantize y.  The encoder runs
         this exact graph too (bit-identical parameters on both sides)."""
-        levels = self._pyramid(y_keys)
+        levels = self._pyramid(y_keys, root_nbr=root_nbr)
         if z_keys is None:
             z_keys = levels[2]["keys"]
         med = self.bottleneck.medians()

@@ -49,7 +49,7 @@ class AnalysisTransform(nn.Module):
     cap_factors: Sequence[float] = (0.5, 0.25, 0.125)
 
     @nn.compact
-    def __call__(self, x: SparseTensor):
+    def __call__(self, x: SparseTensor, root_nbr=None):
         """Returns (y at stride 8, k int32[3, max_batch] per-level counts).
 
         The whole analysis stack shares one octree pyramid: level sets and
@@ -58,7 +58,8 @@ class AnalysisTransform(nn.Module):
         (ops/family.py pyramid)."""
         caps = [int(f * x.capacity) for f in self.cap_factors]
         # levels: 0=input(stride1), 1=s2, 2=s4, 3=s8 (y), 4=s16 (root)
-        levels = F.pyramid(x.keys, caps + [caps[2]], skip_finest_nbr=True)
+        levels = F.pyramid(x.keys, caps + [caps[2]], skip_finest_nbr=True,
+                           root_nbr=root_nbr)
         k2 = x.counts_per_batch(self.max_batch)
 
         def fm(l):

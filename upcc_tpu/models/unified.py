@@ -80,8 +80,9 @@ class UnifiedModel(nn.Module):
         enc["y_keys"] = y.keys
         return enc
 
-    def decode_params_device(self, y_keys, z_sym, q):
-        return self.entropy_model.decode_params_device(y_keys, z_sym, q)
+    def decode_params_device(self, y_keys, z_sym, q, root_nbr=None):
+        return self.entropy_model.decode_params_device(y_keys, z_sym, q,
+                                                       root_nbr=root_nbr)
 
     def decode_reconstruct_device(self, y_keys, y_sym, dec, k, prune_caps=None):
         """Fused decoder back half: dequantize y symbols + synthesis."""
@@ -96,13 +97,13 @@ class UnifiedModel(nn.Module):
         x_hat, _, _ = self.g_s(y_hat, k, prune_caps=prune_caps)
         return x_hat
 
-    def ga_device(self, x: SparseTensor):
+    def ga_device(self, x: SparseTensor, root_nbr=None):
         """Encoder front: analysis transform only."""
         xin = occupancy_color_features(x)
-        y, k = self.g_a(xin)
+        y, k = self.g_a(xin, root_nbr=root_nbr)
         return {"y_keys": y.keys, "y_feats": y.feats, "k": k}
 
-    def hyper_analyze_device(self, y_keys, y_feats):
+    def hyper_analyze_device(self, y_keys, y_feats, root_nbr=None):
         """h_a + z rounding, run on the decoder's y capacity bucket so the
         z key set (including any capacity clipping) is identical on both
         sides.  The Gaussian-parameter half then runs through the decoder's
@@ -111,7 +112,8 @@ class UnifiedModel(nn.Module):
         reference enforces with Sorted* layers and encoder-side decompress
         simulation (/root/reference/model/entropy_models.py:372)."""
         y = SparseTensor(keys=y_keys, feats=y_feats, stride=8)
-        z = self.entropy_model.h_a(y)
+        z = self.entropy_model.h_a(
+            y, self.entropy_model._pyramid(y_keys, root_nbr=root_nbr))
         med = self.entropy_model.bottleneck.medians()
         z_sym = (jnp.round(z.feats - med[None, :]) * z.valid[:, None]).astype(jnp.int32)
         return {"z_keys": z.keys, "z_sym": z_sym}

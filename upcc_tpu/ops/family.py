@@ -196,7 +196,7 @@ def derive_self_neighbors(keys, point_parent, point_slot, parent_nbr):
     return derive_neighbors(point_parent, point_slot, valid, parent_nbr, sb, n)
 
 
-def pyramid(keys, caps, skip_finest_nbr=False):
+def pyramid(keys, caps, skip_finest_nbr=False, root_nbr=None):
     """Octree level pyramid with derived neighbor maps.
 
     keys: finest-level sorted key set.  caps: static capacities of each
@@ -205,7 +205,9 @@ def pyramid(keys, caps, skip_finest_nbr=False):
       {keys, pp (parent link into the next level), sl, nbr (self map)}
     The only binary search happens at the coarsest level.
     skip_finest_nbr: don't derive the finest level's self map (down-conv
-    stacks never use it — it's the most expensive one)."""
+    stacks never use it — it's the most expensive one).
+    root_nbr: optional host-precomputed (idx, ok) self map of the coarsest
+    level (see host_root_neighbors) replacing the device binary search."""
     levels = [{"keys": keys}]
     cur = keys
     for cap in caps:
@@ -214,7 +216,8 @@ def pyramid(keys, caps, skip_finest_nbr=False):
         levels[-1]["sl"] = sl
         levels.append({"keys": pk})
         cur = pk
-    levels[-1]["nbr"] = root_neighbors(levels[-1]["keys"])
+    levels[-1]["nbr"] = root_nbr if root_nbr is not None \
+        else root_neighbors(levels[-1]["keys"])
     stop = 1 if skip_finest_nbr else 0
     for i in range(len(levels) - 2, stop - 1, -1):
         levels[i]["nbr"] = derive_self_neighbors(
@@ -226,6 +229,39 @@ def pyramid(keys, caps, skip_finest_nbr=False):
 def root_neighbors(keys):
     """Self map by direct binary search — used once, at the coarsest level."""
     return _parent_neighbors(keys)
+
+
+def host_root_neighbors(keys_np, levels_down, cap):
+    """Host (numpy) twin of the pyramid root: downsample `levels_down`
+    octree levels, pad to `cap`, and build the 27-neighborhood self map by
+    vectorized searchsorted.
+
+    Dependent gathers on TPU run at ~50M/s, so the root search — whose cost
+    is set by the static cap, not the true count — is better done on the
+    CPU in microseconds and shipped up (cap x 27 x 5 bytes).  Results are
+    bit-identical to the device path because both sides apply the same
+    downsample/truncate/sort rules to the same keys."""
+    sent = np.iinfo(np.int64).max
+    m = np.asarray(keys_np)
+    m = m[m != sent]
+    key_mask = (1 << C.BATCH_SHIFT) - 1
+    for _ in range(levels_down):
+        m = np.unique((m & ~key_mask) | ((m & key_mask) >> 3))
+    m = m[:cap]
+    keys = np.full(cap, sent, np.int64)
+    keys[:len(m)] = m
+
+    units = C.morton_decode_np(keys & key_mask)
+    bbits = keys & ~key_mask
+    nu = units[:, None, :] + _EPS_OFFSETS[None]  # [P, 27, 3]
+    ok = np.all(nu >= 0, -1) & np.all(nu < (1 << C.COORD_BITS), -1) \
+        & (keys != sent)[:, None]
+    nk = np.where(ok, bbits[:, None] | C.morton_encode_np(np.maximum(nu, 0)),
+                  sent)
+    idx = np.minimum(np.searchsorted(keys, nk.reshape(-1)), cap - 1) \
+        .astype(np.int32).reshape(nk.shape)
+    found = (keys[idx] == nk) & (nk != sent)
+    return keys, idx, found
 
 
 def cross_neighbors(out_parent_keys, in_parent_keys):
