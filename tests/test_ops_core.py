@@ -232,3 +232,28 @@ def test_counts_per_batch():
         uniq.setdefault(int(bb), set()).add(tuple(p))
     for bi in range(4):
         assert counts[bi] == len(uniq.get(bi, set()))
+
+
+def test_topk_exactness_stress():
+    """Radix-select top-k equals numpy's partition semantics across many
+    shapes, including ties, k=0, k>count, and multi-batch."""
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        b, xyz, f = rand_cloud(rng, 300, extent=20, batches=4)
+        st = from_points(jnp.asarray(b), jnp.asarray(xyz), jnp.asarray(f),
+                         capacity=512)
+        logits = rng.standard_normal(512).astype(np.float32)
+        logits[::7] = logits[0]  # inject ties
+        k = jnp.asarray(rng.integers(0, 120, 4), jnp.int32)
+        keep = np.asarray(topk_mask(st, jnp.asarray(logits), k))
+        v = np.asarray(st.valid)
+        bn = np.asarray(st.batch)
+        for bi in range(4):
+            pool = v & (bn == bi)
+            kk = min(int(k[bi]), int(pool.sum()))
+            sel = keep & pool
+            assert sel.sum() == kk, f"trial {trial} batch {bi}"
+            if kk:
+                thresh = np.sort(logits[pool])[::-1][kk - 1]
+                assert (logits[sel] >= thresh).all()
+        assert not (keep & ~v).any()

@@ -32,8 +32,11 @@ def _float_to_ordered_int(x):
 def topk_mask(st: SparseTensor, logits, k_per_batch):
     """Boolean mask of the top-k(batch) logits within each batch.
 
-    Ties at the threshold are broken by position (first wins), which is
-    deterministic and identical on encoder and decoder."""
+    Radix-select: 4 passes of 256-bin histograms walk down the 32-bit
+    ordered image of the logits to the exact k-th largest value per batch
+    (vs ~34 full passes for a plain binary search).  Ties at the threshold
+    are broken by position (first wins) — deterministic and identical on
+    encoder and decoder."""
     maxb = k_per_batch.shape[0]
     valid = st.valid
     b = jnp.where(valid, jnp.minimum(st.batch, maxb - 1), maxb)
@@ -42,24 +45,31 @@ def topk_mask(st: SparseTensor, logits, k_per_batch):
     u = jnp.where(valid, u, jnp.int64(-1))
     k = jnp.maximum(k_per_batch.astype(jnp.int32), 0)
 
-    def count_gt(thr_b):
-        gt = (u > thr_b[b]).astype(jnp.int32) * valid.astype(jnp.int32)
-        return jnp.bincount(jnp.where(valid, b, maxb), weights=gt,
-                            length=maxb + 1)[:maxb].astype(jnp.int32)
+    def pass_body(j, state):
+        prefix, krem = state
+        shift = 24 - 8 * j
+        hi_match = (u >> (shift + 8)) == (prefix >> (shift + 8))[b]
+        active = hi_match & valid
+        bins = ((u >> shift) & 255).astype(jnp.int32)
+        slot = jnp.where(active, b * 256 + bins, maxb * 256)
+        hist = jnp.bincount(slot, length=maxb * 256 + 1)[:maxb * 256]
+        hist = hist.reshape(maxb, 256).astype(jnp.int32)
+        # desc[t] = count of active elements in bins > t
+        desc = jnp.cumsum(hist[:, ::-1], axis=1)[:, ::-1] - hist
+        hit = (desc < krem[:, None]) & (desc + hist >= krem[:, None])
+        t = jnp.argmax(hit, axis=1).astype(jnp.int64)
+        any_hit = jnp.any(hit, axis=1)
+        t = jnp.where(any_hit, t, 0)
+        new_prefix = prefix | (t << shift)
+        new_krem = krem - jnp.take_along_axis(desc, t[:, None].astype(jnp.int32),
+                                              axis=1)[:, 0]
+        prefix = jnp.where(any_hit, new_prefix, prefix)
+        krem = jnp.where(any_hit, jnp.maximum(new_krem, 0), krem)
+        return prefix, krem
 
-    # binary search (per batch) for the smallest T with count(u > T) < k,
-    # i.e. T = value of the k-th largest element
-    def body(i, state):
-        lo, hi = state  # invariant: count(u > hi) < k <= count(u > lo-1)
-        mid = (lo + hi) // 2
-        c = count_gt(mid)
-        lo = jnp.where(c >= k, mid + 1, lo)
-        hi = jnp.where(c >= k, hi, mid)
-        return lo, hi
-
-    lo0 = jnp.full((maxb,), -1, jnp.int64)
-    hi0 = jnp.full((maxb,), jnp.int64(1) << 32, jnp.int64)
-    _, thr = jax.lax.fori_loop(0, 34, body, (lo0, hi0))
+    prefix0 = jnp.zeros((maxb,), jnp.int64)
+    prefix, krem = jax.lax.fori_loop(0, 4, pass_body, (prefix0, k))
+    thr = jnp.where(k > 0, prefix, jnp.int64(1) << 32)
 
     gt = (u > thr[b]) & valid
     n_gt = jnp.bincount(jnp.where(valid, b, maxb),
