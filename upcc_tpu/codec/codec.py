@@ -135,7 +135,12 @@ class Codec:
                 st = self.model.apply({"params": params}, y_keys, y_sym, dec,
                                       k, prune_caps,
                                       method=self.model.decode_reconstruct_device)
-                return st.keys, st.feats
+                # compact transfer format: int32 morton (block-local coords
+                # fit 30 bits), uint8 colors on the 8-bit grid
+                keys32 = jnp.where(st.valid, st.keys, -1).astype(jnp.int32)
+                colors8 = jnp.clip(jnp.round(st.feats * 255.0), 0, 255
+                                   ).astype(jnp.uint8)
+                return keys32, colors8
             return jax.jit(fn)
         return self._jit(("reconstruct", ycap, prune_caps), build)
 
@@ -326,9 +331,8 @@ class Codec:
                               jnp.asarray(k))
 
         keys_np = self._t("dec.fetch_out", lambda: np.asarray(keys))
-        v = keys_np != np.iinfo(np.int64).max
-        units = C.morton_decode_np(keys_np[v] & ((1 << C.BATCH_SHIFT) - 1))
-        colors = np.asarray(feats)[v]
-        colors = np.clip(np.round(colors * 255.0), 0.0, 255.0) / 255.0
+        v = keys_np >= 0
+        units = C.morton_decode_np(keys_np[v].astype(np.int64))
+        colors = np.asarray(feats)[v].astype(np.float32) / 255.0
         xyz = units + np.asarray(blk["origin"], np.int32)
         return np.concatenate([xyz.astype(np.float32), colors], axis=1)

@@ -402,7 +402,7 @@ def family_conv(fm_in: FamilyMap, in_feats, in_valid, weights, kernel_size,
 
     acc0 = jnp.zeros((p_out, 8 * cout), jnp.float32)
     acc, _ = jax.lax.scan(step, acc0,
-                          (nbr_idx.T, nbr_ok.T, wexp))
+                          (nbr_idx.T, nbr_ok.T, wexp), unroll=9)
     out_brick = jnp.concatenate(
         [acc.reshape(p_out, 8, cout),
          jnp.zeros((1, 8, cout), jnp.float32)], axis=0)
@@ -456,7 +456,7 @@ def family_transpose_up(fm_parent_nbr, in_feats, in_valid, weights,
                                 preferred_element_type=jnp.float32), None
 
     acc0 = jnp.zeros((n, 8, cout), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, (nbr_idx.T, nbr_ok.T, wt))
+    acc, _ = jax.lax.scan(step, acc0, (nbr_idx.T, nbr_ok.T, wt), unroll=9)
     return acc.reshape(8 * n, cout)
 
 
@@ -492,6 +492,7 @@ def family_down_conv(fm_in: FamilyMap, in_feats, in_valid, weights,
         return acc + jnp.dot(nb, wk, preferred_element_type=jnp.float32), None
 
     acc0 = jnp.zeros((p, cout), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, (fm_in.nbr_idx.T, fm_in.nbr_ok.T, wt))
+    acc, _ = jax.lax.scan(step, acc0, (fm_in.nbr_idx.T, fm_in.nbr_ok.T, wt),
+                          unroll=9)
     acc = acc * C.key_is_valid(fm_in.parent_keys)[:, None].astype(acc.dtype)
     return acc
