@@ -82,3 +82,49 @@ def pcqm(reference6, reconstruction6, tmp_dir=None):
     col_q = min(m["sym_y_psnr"] / 50.0, 1.0)
     proxy = 1.0 - (0.5 * geom_q + 0.5 * col_q)
     return proxy, False
+
+
+def compress_vpcc(points6, rate_preset=1, tmp_dir=None):
+    """V-PCC (tmc2) anchor hook.  The reference's V-PCC path is itself
+    incomplete (utils.py:571-616 references an undefined variable, marked
+    TODO); this wrapper runs the encoder when the binary exists and raises
+    cleanly otherwise."""
+    if not (shutil.which(VPCC_BIN) or os.path.exists(VPCC_BIN)):
+        raise FileNotFoundError(f"tmc2 binary not found at {VPCC_BIN}")
+    import time
+    tmp = tmp_dir or tempfile.mkdtemp(prefix="vpcc_")
+    src = os.path.join(tmp, "in.ply")
+    binf = os.path.join(tmp, "out.bin")
+    write_ply(src, points6[:, :3], points6[:, 3:6])
+    t0 = time.time()
+    subprocess.run([VPCC_BIN, f"--uncompressedDataPath={src}",
+                    f"--compressedStreamPath={binf}",
+                    f"--rateIndex={rate_preset}"], check=True,
+                   capture_output=True)
+    bpp = os.path.getsize(binf) * 8.0 / len(points6)
+    return binf, bpp, time.time() - t0
+
+
+ITDLPCC_DIR = os.environ.get("UPCC_ITDLPCC", "./dependencies/IT-DL-PCC")
+
+
+def compress_itdlpcc(points6, rate=1, with_color=True, tmp_dir=None):
+    """IT-DL-PCC anchor hook (reference utils.py:618-661): shells out to the
+    IT-DL-PCC python codec when its checkout+weights exist."""
+    script = os.path.join(ITDLPCC_DIR, "src", "compress.py")
+    if not os.path.exists(script):
+        raise FileNotFoundError(f"IT-DL-PCC not found at {ITDLPCC_DIR}")
+    import sys
+    import time
+    tmp = tmp_dir or tempfile.mkdtemp(prefix="itdlpcc_")
+    src = os.path.join(tmp, "in.ply")
+    write_ply(src, points6[:, :3], points6[:, 3:6])
+    kind = "joint" if with_color else "geo"
+    t0 = time.time()
+    subprocess.run([sys.executable, script, src, tmp,
+                    "--model", os.path.join(ITDLPCC_DIR, "models", kind,
+                                            f"R{rate}")],
+                   check=True, capture_output=True)
+    outs = [os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".gz")]
+    bits = sum(os.path.getsize(o) * 8 for o in outs)
+    return outs, bits / len(points6), time.time() - t0

@@ -108,3 +108,24 @@ def pc_metrics(source, reconstruction, resolution, with_d2=True):
     if with_d2:
         result["sym_d2_psnr"] = result.get("BA_d2_psnr")
     return result
+
+
+class PointCloudMetric:
+    """Class-style wrapper mirroring the reference's PointCloudMetric API
+    (/root/reference/metrics/metric.py:6-189): construct with source and
+    reconstruction, call compute_pointcloud_metrics() for the symmetric
+    metric dict."""
+
+    def __init__(self, source, reconstruction, resolution, drop_duplicates=True):
+        self.source = np.asarray(source)
+        self.reconstruction = np.asarray(reconstruction)
+        self.resolution = resolution
+        self.report = None
+
+    def compute_pointcloud_metrics(self, drop_duplicates=False):
+        self.report = pc_metrics(self.source, self.reconstruction,
+                                 self.resolution)
+        return self.report, {}
+
+    def get_result(self):
+        return self.report

@@ -1,0 +1,2 @@
+from .data_parallel import make_mesh, make_dp_train_step, shard_batch
+from .block_parallel import parallel_map_blocks, shard_points_by_block

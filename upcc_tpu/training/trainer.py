@@ -186,6 +186,7 @@ class Training:
         from ..eval.metrics import pc_metrics
         codec = Codec(self.model, self.state.params)
         codec.update()
+        render_dir = os.path.join(self.results_dir, "renders_val")
         rows = []
         n_val = min(len(self.val_ds), 2) if self.val_ds else 0
         for i in range(n_val):
@@ -200,6 +201,11 @@ class Training:
                              "bpp": len(data) * 8 / len(pc),
                              "sym_y_psnr": m["sym_y_psnr"],
                              "sym_psnr_mse": m["sym_psnr_mse"]})
+                if i == 0 and qg == qa:
+                    # qualitative renders (reference train.py:279-293)
+                    from ..eval.render import render_pointcloud
+                    render_pointcloud(rec, path_prefix=os.path.join(
+                        render_dir, f"ep{epoch:03d}_q{qg}{qa}"))
         if rows:
             path = os.path.join(self.results_dir, "val.csv")
             write_header = not os.path.exists(path)
