@@ -184,7 +184,7 @@ class Codec:
         n = local_xyz.shape[0]
         cap = _bucket(n)
         b = np.zeros(n, np.int32)
-        st = from_points_host(b, local_xyz, rgb, capacity=cap)
+        st = self._t("enc.voxelize", from_points_host, b, local_xyz, rgb, cap)
 
         # host-computed root neighbor maps (device dependent-gather searches
         # cost seconds at these caps; numpy does them in microseconds)
@@ -194,8 +194,9 @@ class Codec:
         ga_factors = self.model.config["g_a"].get("cap_factors",
                                                   (0.5, 0.25, 0.125))
         ga_root_cap = int(ga_factors[2] * cap)
-        keys_host = np.asarray(st.keys)
-        _, ga_rn_idx, ga_rn_ok = F.host_root_neighbors(keys_host, 4, ga_root_cap)
+        keys_host = self._t("enc.fetch_keys", lambda: np.asarray(st.keys))
+        _, ga_rn_idx, ga_rn_ok = self._t(
+            "enc.host_root", F.host_root_neighbors, keys_host, 4, ga_root_cap)
 
         enc = self._t("enc.analyze", self._analyze(cap), self.params, st.keys,
                       st.feats, jnp.asarray(ga_rn_idx), jnp.asarray(ga_rn_ok))
@@ -203,14 +204,16 @@ class Codec:
         # re-bucket y to the decoder's capacity (bucket of the true count).
         # Valid rows are a sorted prefix, so this is a device-side slice/pad;
         # only the scalar count crosses the tunnel.
-        n_y = int(jnp.sum(enc["y_keys"] != jnp.iinfo(jnp.int64).max))
+        n_y = int(self._t("enc.count_y", lambda: jnp.sum(
+            enc["y_keys"] != jnp.iinfo(jnp.int64).max)))
         ycap = _bucket(n_y)
         y_keys, y_feats = self._rebucket(int(enc["y_keys"].shape[0]), ycap)(
             enc["y_keys"], enc["y_feats"])
         y_keys_np = np.asarray(y_keys)
 
         z_root_cap = int(zf[1] * ycap)
-        _, z_rn_idx, z_rn_ok = F.host_root_neighbors(y_keys_np, 2, z_root_cap)
+        _, z_rn_idx, z_rn_ok = self._t(
+            "enc.host_root_z", F.host_root_neighbors, y_keys_np, 2, z_root_cap)
         z_rn = (jnp.asarray(z_rn_idx), jnp.asarray(z_rn_ok))
         hyp = self._t("enc.hyper", self._hyper_analyze(ycap), self.params,
                       y_keys, y_feats, *z_rn)
