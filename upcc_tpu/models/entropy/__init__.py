@@ -1,0 +1,3 @@
+from . import gaussian
+from .bottleneck import FactorizedBottleneck, build_cdf_tables
+from .hyperprior import MeanScaleHyperprior

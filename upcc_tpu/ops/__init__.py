@@ -5,3 +5,5 @@ from .sparse import (SparseTensor, from_points, lookup, features_at,
 from .conv import (apply_sparse_conv, apply_channelwise_conv, apply_avg_pool,
                    init_conv_weights, gather_neighbors)
 from .topk import topk_mask, prune
+from . import family
+from .sparse import from_points_host, compact
