@@ -95,7 +95,13 @@ class Codec:
 
     def _analyze(self, cap):
         def build():
-            def fn(params, keys, feats, rn_idx, rn_ok):
+            def fn(params, keys_i32, colors_u8, rn_idx, rn_ok):
+                # compact upload format: int32 morton (-1 = padding) + uint8
+                # colors; widened/normalized on device (the tunnel moves
+                # ~33 MB/s, so upload bytes matter)
+                keys = jnp.where(keys_i32 >= 0, keys_i32.astype(jnp.int64),
+                                 C.SENTINEL)
+                feats = colors_u8.astype(jnp.float32) / 255.0
                 x = SparseTensor(keys=keys, feats=feats, stride=1)
                 return self.model.apply({"params": params}, x,
                                         (rn_idx, rn_ok),
@@ -152,6 +158,10 @@ class Codec:
 
         Returns container bytes (or writes to path)."""
         assert self.tables is not None, "call update() first"
+        # block-local morton codes must fit int32 for the compact upload
+        # format (the reference's eval uses block sizes 1024/512 too,
+        # evaluate.py:43-46)
+        assert block_size <= 1024, "block_size > 1024 not supported"
         pts = np.asarray(pointcloud)
         xyz = pts[:, :3].astype(np.float64)
         if scaling_factor != 1.0:
@@ -180,11 +190,12 @@ class Codec:
         return bitstream.write_container(path, blocks, scaling_factor)
 
     def _compress_block(self, local_xyz, rgb, qv, origin, levels):
-        from ..ops.sparse import from_points_host
+        from ..ops.sparse import voxelize_host_np
         n = local_xyz.shape[0]
         cap = _bucket(n)
         b = np.zeros(n, np.int32)
-        st = self._t("enc.voxelize", from_points_host, b, local_xyz, rgb, cap)
+        keys_host, feats_host = self._t("enc.voxelize", voxelize_host_np,
+                                        b, local_xyz, rgb, cap)
 
         # host-computed root neighbor maps (device dependent-gather searches
         # cost seconds at these caps; numpy does them in microseconds)
@@ -194,12 +205,18 @@ class Codec:
         ga_factors = self.model.config["g_a"].get("cap_factors",
                                                   (0.5, 0.25, 0.125))
         ga_root_cap = int(ga_factors[2] * cap)
-        keys_host = self._t("enc.fetch_keys", lambda: np.asarray(st.keys))
         _, ga_rn_idx, ga_rn_ok = self._t(
             "enc.host_root", F.host_root_neighbors, keys_host, 4, ga_root_cap)
 
-        enc = self._t("enc.analyze", self._analyze(cap), self.params, st.keys,
-                      st.feats, jnp.asarray(ga_rn_idx), jnp.asarray(ga_rn_ok))
+        # compact upload: int32 morton + uint8 colors (block-local morton
+        # fits 30 bits for block_size <= 1024)
+        keys_i32 = np.where(keys_host != np.iinfo(np.int64).max,
+                            keys_host, -1).astype(np.int32)
+        colors_u8 = np.clip(np.round(feats_host * 255.0), 0, 255
+                            ).astype(np.uint8)
+        enc = self._t("enc.analyze", self._analyze(cap), self.params,
+                      jnp.asarray(keys_i32), jnp.asarray(colors_u8),
+                      jnp.asarray(ga_rn_idx), jnp.asarray(ga_rn_ok))
 
         # re-bucket y to the decoder's capacity (bucket of the true count).
         # Valid rows are a sorted prefix, so this is a device-side slice/pad;

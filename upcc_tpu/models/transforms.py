@@ -166,29 +166,35 @@ class SparseSynthesisTransform(nn.Module):
             (self.N2, self.N1, "up2_t", self.N1, self.N1 // 2, "pred2"),
             (self.N1, self.N1 // 4, "up3_t", self.N1 // 4, self.N4 // 8, "pred3"),
         ]
+        import jax
         for lvl, (cin, cout, tname, pcin, pchid, pname) in enumerate(specs):
             parent_keys = x.keys
             child_keys = upsample_children_keys(parent_keys)
             cf = F.child_family(parent_keys, nbr=nbr)
-            cfeats = FamilyTransposeUp(cin, cout, 5, name=tname)(
-                nbr, x.feats, x.valid)
+            with jax.named_scope(f"gs_transpose_l{lvl}"):
+                cfeats = FamilyTransposeUp(cin, cout, 5, name=tname)(
+                    nbr, x.feats, x.valid)
             cvalid = C.key_is_valid(child_keys)
             cand = SparseTensor(keys=child_keys, feats=cfeats,
                                 stride=x.stride // 2)
-            logits = OccupancyHead(pcin, pchid, name=pname)(cf, cfeats, cvalid)
+            with jax.named_scope(f"gs_head_l{lvl}"):
+                logits = OccupancyHead(pcin, pchid, name=pname)(cf, cfeats, cvalid)
             cands.append(cand)
             logits_list.append(logits)
-            keep = topk_mask(cand, logits, k[lvl]) & cvalid
+            with jax.named_scope(f"gs_topk_l{lvl}"):
+                keep = topk_mask(cand, logits, k[lvl]) & cvalid
             # prune with parent links carried through the compaction
-            pk, pf, ppar, pslot = compact(child_keys, keep, cand.feats,
-                                          cf.point_parent, cf.point_slot)
-            pk, pf = pk[:caps[lvl]], pf[:caps[lvl]]
-            ppar, pslot = ppar[:caps[lvl]], pslot[:caps[lvl]]
-            pvalid = C.key_is_valid(pk)
-            ppar = jnp.where(pvalid, ppar, parent_keys.shape[0])
+            with jax.named_scope(f"gs_prune_l{lvl}"):
+                pk, pf, ppar, pslot = compact(child_keys, keep, cand.feats,
+                                              cf.point_parent, cf.point_slot)
+                pk, pf = pk[:caps[lvl]], pf[:caps[lvl]]
+                ppar, pslot = ppar[:caps[lvl]], pslot[:caps[lvl]]
+                pvalid = C.key_is_valid(pk)
+                ppar = jnp.where(pvalid, ppar, parent_keys.shape[0])
             x = SparseTensor(keys=pk, feats=pf, stride=x.stride // 2)
             if lvl < 2:
-                nbr = F.derive_self_neighbors(pk, ppar, pslot, nbr)
+                with jax.named_scope(f"gs_derive_l{lvl}"):
+                    nbr = F.derive_self_neighbors(pk, ppar, pslot, nbr)
                 x = x.replace(feats=GDN(cout, inverse=True,
                                         name=f"igdn{lvl + 2}")(x.feats))
 

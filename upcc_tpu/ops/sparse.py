@@ -120,9 +120,8 @@ def from_points(batch, xyz, feats, capacity, stride=1, dedup=True):
     return SparseTensor(keys=keys, feats=feats, stride=stride)
 
 
-def from_points_host(batch, xyz, feats, capacity, stride=1, dedup=True):
-    """Host (numpy) voxelization: sorts on CPU, so the device never compiles
-    a large raw-input sort.  Returns a SparseTensor of device arrays."""
+def voxelize_host_np(batch, xyz, feats, capacity, stride=1, dedup=True):
+    """Host (numpy) voxelization: sorted, dedup'd, sentinel-padded arrays."""
     import numpy as np
     batch = np.asarray(batch)
     xyz = np.asarray(xyz)
@@ -144,6 +143,14 @@ def from_points_host(batch, xyz, feats, capacity, stride=1, dedup=True):
     out_feats = np.zeros((capacity, feats.shape[1]), np.float32)
     out_keys[:n] = keys[:n]
     out_feats[:n] = feats[:n]
+    return out_keys, out_feats
+
+
+def from_points_host(batch, xyz, feats, capacity, stride=1, dedup=True):
+    """Host (numpy) voxelization: sorts on CPU, so the device never compiles
+    a large raw-input sort.  Returns a SparseTensor of device arrays."""
+    out_keys, out_feats = voxelize_host_np(batch, xyz, feats, capacity,
+                                           stride, dedup)
     return SparseTensor(keys=jnp.asarray(out_keys), feats=jnp.asarray(out_feats),
                         stride=stride)
 
