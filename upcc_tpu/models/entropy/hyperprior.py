@@ -246,7 +246,8 @@ class MeanScaleHyperprior(nn.Module):
         y_valid = y_keys != jnp.iinfo(jnp.int64).max
         y_batch = (y_keys >> coords.BATCH_SHIFT).astype(jnp.int32)
         scale, rescale = self.gains(q, y_batch, y_valid)
-        indexes = gaussian.build_indexes(scales_hat * scale)
+        # 64 table scales fit uint8 — 4x smaller host fetch for rANS
+        indexes = gaussian.build_indexes(scales_hat * scale).astype(jnp.uint8)
         return {"indexes": indexes, "scales_hat": scales_hat,
                 "means_hat": means_hat, "scale": scale, "rescale": rescale,
                 "y_valid": y_valid,
