@@ -122,3 +122,24 @@ def test_decompress_deterministic(codec):
     out1 = codec.decompress(data)
     out2 = codec.decompress(data)
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_roundtrip_many_blocks(codec):
+    """8 blocks ride one batched device pass; exact per-block voxel counts."""
+    rng = np.random.default_rng(7)
+    parts = []
+    expected = 0
+    for i in range(8):
+        xyz, rgb = surface_cloud(rng, extent=100, n_target=400)
+        xyz = xyz + np.array([[128 * (i % 4), 128 * (i // 4), 0]], np.int32)
+        expected += len(np.unique(xyz, axis=0))
+        parts.append(np.concatenate([xyz.astype(np.float32), rgb], 1))
+    pc = np.concatenate(parts)
+    data = codec.compress(pc, q=(0.6, 0.4), block_size=128)
+    out = codec.decompress(data)
+    assert out.shape[0] == expected
+    # every block region is populated
+    for i in range(8):
+        inx = (out[:, 0] >= 128 * (i % 4)) & (out[:, 0] < 128 * (i % 4) + 128) \
+            & (out[:, 1] >= 128 * (i // 4)) & (out[:, 1] < 128 * (i // 4) + 128)
+        assert inx.sum() > 0

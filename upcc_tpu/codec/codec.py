@@ -7,15 +7,21 @@ the inverse.  TPU-native structure:
 
   * all NN compute is in a handful of jitted graphs, cached per static
     capacity bucket (powers of two), so arbitrary frames reuse compilations;
+  * **blocks are batched**: up to 63 blocks ride one device pass through
+    the batch bits of the Morton keys (the reference loops python-side over
+    blocks, model.py:137-176) — per-block streams stay independent, so the
+    bitstream format is unchanged;
   * the encoder derives its Gaussian parameters through the *decoder's*
     graph, making encoder/decoder entropy parameters identical by
     construction (no Sorted*-style machinery needed);
   * coordinates are coded by the native octree codec, features by the native
-    rANS coder — no subprocesses, no temp files.
+    rANS coder — no subprocesses, no temp files;
+  * transfers through the (33 MB/s) device tunnel are minimized: compact
+    uploads (u8 batch + i32 morton + u8 colors), prefix-sliced symbol
+    fetches, u8 scale indexes, i32+u8 outputs.
 """
 
 import math
-from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -24,10 +30,13 @@ import numpy as np
 from ..coding import octree, rans
 from ..models.entropy import gaussian
 from ..models.entropy.bottleneck import build_cdf_tables
+from ..models.unified import UnifiedModel
 from ..ops import coords as C
 from ..ops import family as F
 from ..ops.sparse import SparseTensor
 from . import bitstream
+
+MAX_GROUP = 63  # batch bits hold 6 bits; batch index 63 is reserved
 
 
 def _bucket(n, lo=512):
@@ -37,6 +46,11 @@ def _bucket(n, lo=512):
 class Codec:
     def __init__(self, model, params):
         self.model = model
+        # codec-side twin with max_batch=64 so up to 63 blocks share one
+        # device pass (parameters are independent of max_batch)
+        mcfg = dict(model.config)
+        mcfg["max_batch"] = 64
+        self.cmodel = UnifiedModel(mcfg)
         self.params = params
         self.tables = None
         self._jits = {}
@@ -45,7 +59,7 @@ class Codec:
         self.profile = False
         self.stage_times = {}
 
-    def _t(self, name, fn, *args, sync=None):
+    def _t(self, name, fn, *args):
         """Run a stage; when profiling, block and accumulate wall time."""
         if not self.profile:
             return fn(*args)
@@ -95,58 +109,58 @@ class Codec:
 
     def _analyze(self, cap):
         def build():
-            def fn(params, keys_i32, colors_u8, rn_idx, rn_ok):
-                # compact upload format: int32 morton (-1 = padding) + uint8
-                # colors; widened/normalized on device (the tunnel moves
-                # ~33 MB/s, so upload bytes matter)
-                keys = jnp.where(keys_i32 >= 0, keys_i32.astype(jnp.int64),
-                                 C.SENTINEL)
+            def fn(params, batch_u8, morton_i32, colors_u8, rn_idx, rn_ok):
+                keys = jnp.where(
+                    morton_i32 >= 0,
+                    (batch_u8.astype(jnp.int64) << C.BATCH_SHIFT)
+                    | morton_i32.astype(jnp.int64), C.SENTINEL)
                 feats = colors_u8.astype(jnp.float32) / 255.0
                 x = SparseTensor(keys=keys, feats=feats, stride=1)
-                return self.model.apply({"params": params}, x,
-                                        (rn_idx, rn_ok),
-                                        method=self.model.ga_device)
+                return self.cmodel.apply({"params": params}, x,
+                                         (rn_idx, rn_ok),
+                                         method=self.cmodel.ga_device)
             return jax.jit(fn)
         return self._jit(("analyze", cap), build)
 
     def _hyper_analyze(self, ycap):
         def build():
             def fn(params, y_keys, y_feats, rn_idx, rn_ok):
-                return self.model.apply({"params": params}, y_keys, y_feats,
-                                        (rn_idx, rn_ok),
-                                        method=self.model.hyper_analyze_device)
+                return self.cmodel.apply({"params": params}, y_keys, y_feats,
+                                         (rn_idx, rn_ok),
+                                         method=self.cmodel.hyper_analyze_device)
             return jax.jit(fn)
         return self._jit(("hyper", ycap), build)
 
     def _params_graph(self, ycap, zcap):
         def build():
             def fn(params, y_keys, z_sym, q, rn_idx, rn_ok):
-                return self.model.apply({"params": params}, y_keys, z_sym, q,
-                                        (rn_idx, rn_ok),
-                                        method=self.model.decode_params_device)
+                return self.cmodel.apply({"params": params}, y_keys, z_sym, q,
+                                         (rn_idx, rn_ok),
+                                         method=self.cmodel.decode_params_device)
             return jax.jit(fn)
         return self._jit(("params", ycap, zcap), build)
 
     def _symbols_graph(self, ycap):
         def build():
             def fn(params, y_feats, dec):
-                return self.model.apply({"params": params}, y_feats, dec,
-                                        method=self.model.encode_symbols_device)
+                return self.cmodel.apply({"params": params}, y_feats, dec,
+                                         method=self.cmodel.encode_symbols_device)
             return jax.jit(fn)
         return self._jit(("symbols", ycap), build)
 
     def _reconstruct_graph(self, ycap, prune_caps):
         def build():
             def fn(params, y_keys, y_sym, dec, k):
-                st = self.model.apply({"params": params}, y_keys, y_sym, dec,
-                                      k, prune_caps,
-                                      method=self.model.decode_reconstruct_device)
-                # compact transfer format: int32 morton (block-local coords
-                # fit 30 bits), uint8 colors on the 8-bit grid
-                keys32 = jnp.where(st.valid, st.keys, -1).astype(jnp.int32)
+                st = self.cmodel.apply({"params": params}, y_keys, y_sym, dec,
+                                       k, prune_caps,
+                                       method=self.cmodel.decode_reconstruct_device)
+                # compact transfer format: u8 batch + i32 morton + u8 colors
+                batch_u8 = jnp.where(st.valid, st.batch, 255).astype(jnp.uint8)
+                m = (st.keys & ((jnp.int64(1) << C.BATCH_SHIFT) - 1))
+                morton_i32 = jnp.where(st.valid, m, -1).astype(jnp.int32)
                 colors8 = jnp.clip(jnp.round(st.feats * 255.0), 0, 255
                                    ).astype(jnp.uint8)
-                return keys32, colors8
+                return batch_u8, morton_i32, colors8
             return jax.jit(fn)
         return self._jit(("reconstruct", ycap, prune_caps), build)
 
@@ -173,29 +187,36 @@ class Codec:
         bidx = (xyz - mins) // block_size
         order = np.lexsort((bidx[:, 2], bidx[:, 1], bidx[:, 0]))
         xyz, rgb, bidx = xyz[order], rgb[order], bidx[order]
-        uniq, starts = np.unique(bidx, axis=0, return_index=True)
-        starts = np.sort(starts)
-        bounds = np.append(starts, len(xyz))
+        change = np.any(np.diff(bidx, axis=0) != 0, axis=1)
+        bounds = np.concatenate([[0], np.where(change)[0] + 1, [len(xyz)]])
 
         levels = max(1, int(math.ceil(math.log2(max(block_size // 8, 2)))))
         qv = jnp.asarray(np.asarray(q, np.float32).reshape(1, 2))
         blocks = []
+        group, group_origins = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             bxyz = xyz[s:e]
             origin = mins + ((bxyz[0] - mins) // block_size) * block_size
-            local = bxyz - origin
-            blocks.append(self._compress_block(local, rgb[s:e], qv,
-                                               tuple(int(v) for v in origin),
-                                               levels))
+            group.append((bxyz - origin, rgb[s:e]))
+            group_origins.append(tuple(int(v) for v in origin))
+            if len(group) == MAX_GROUP:
+                blocks += self._compress_group(group, group_origins, qv, levels)
+                group, group_origins = [], []
+        if group:
+            blocks += self._compress_group(group, group_origins, qv, levels)
         return bitstream.write_container(path, blocks, scaling_factor)
 
-    def _compress_block(self, local_xyz, rgb, qv, origin, levels):
+    def _compress_group(self, group, origins, qv, levels):
+        """Encode up to MAX_GROUP blocks in one batched device pass."""
         from ..ops.sparse import voxelize_host_np
-        n = local_xyz.shape[0]
-        cap = _bucket(n)
-        b = np.zeros(n, np.int32)
+        g = len(group)
+        batch = np.concatenate([np.full(len(x), i, np.int32)
+                                for i, (x, _) in enumerate(group)])
+        local = np.concatenate([x for x, _ in group])
+        colors = np.concatenate([c for _, c in group])
+        cap = _bucket(len(local))
         keys_host, feats_host = self._t("enc.voxelize", voxelize_host_np,
-                                        b, local_xyz, rgb, cap)
+                                        batch, local, colors, cap)
 
         # host-computed root neighbor maps (device dependent-gather searches
         # cost seconds at these caps; numpy does them in microseconds)
@@ -208,19 +229,22 @@ class Codec:
         _, ga_rn_idx, ga_rn_ok = self._t(
             "enc.host_root", F.host_root_neighbors, keys_host, 4, ga_root_cap)
 
-        # compact upload: int32 morton + uint8 colors (block-local morton
-        # fits 30 bits for block_size <= 1024)
-        keys_i32 = np.where(keys_host != np.iinfo(np.int64).max,
-                            keys_host, -1).astype(np.int32)
+        key_mask = (1 << C.BATCH_SHIFT) - 1
+        sent = np.iinfo(np.int64).max
+        valid_in = keys_host != sent
+        batch_u8 = np.where(valid_in, keys_host >> C.BATCH_SHIFT, 255
+                            ).astype(np.uint8)
+        morton_i32 = np.where(valid_in, keys_host & key_mask, -1
+                              ).astype(np.int32)
         colors_u8 = np.clip(np.round(feats_host * 255.0), 0, 255
                             ).astype(np.uint8)
         enc = self._t("enc.analyze", self._analyze(cap), self.params,
-                      jnp.asarray(keys_i32), jnp.asarray(colors_u8),
+                      jnp.asarray(batch_u8), jnp.asarray(morton_i32),
+                      jnp.asarray(colors_u8),
                       jnp.asarray(ga_rn_idx), jnp.asarray(ga_rn_ok))
 
-        # re-bucket y to the decoder's capacity (bucket of the true count).
-        # Valid rows are a sorted prefix, so this is a device-side slice/pad;
-        # only the scalar count crosses the tunnel.
+        # re-bucket y to the decoder's capacity (bucket of the true count);
+        # device-side slice/pad — only the scalar count crosses the tunnel
         n_y = int(self._t("enc.count_y", lambda: jnp.sum(
             enc["y_keys"] != jnp.iinfo(jnp.int64).max)))
         ycap = _bucket(n_y)
@@ -240,43 +264,59 @@ class Codec:
         y_sym = self._t("enc.symbols", self._symbols_graph(ycap),
                         self.params, y_feats, dec)
 
-        # host: compact valid rows and entropy-code
-        yv = y_keys_np != np.iinfo(np.int64).max
+        # host: per-block prefix runs (batch-major order) and entropy coding
+        yv = y_keys_np != sent
+        y_batches = (y_keys_np[yv] >> C.BATCH_SHIFT).astype(np.int32)
+        ny_b = np.bincount(y_batches, minlength=g)[:g]
+        y_ofs = np.concatenate([[0], np.cumsum(ny_b)])
+
         z_keys_np = np.asarray(z_keys)
-        zv = z_keys_np != np.iinfo(np.int64).max
+        zv = z_keys_np != sent
         n_z = int(zv.sum())
+        z_batches = (z_keys_np[zv] >> C.BATCH_SHIFT).astype(np.int32)
+        nz_b = np.bincount(z_batches, minlength=g)[:g]
+        z_ofs = np.concatenate([[0], np.cumsum(nz_b)])
 
         zt, yt = self.tables["z"], self.tables["y"]
-        # valid rows are a sorted prefix: fetch only the prefix slices
+        zch = hyp["z_sym"].shape[1]
         z_vals = self._t("enc.fetch_z", lambda: np.asarray(
-            jax.lax.dynamic_slice_in_dim(hyp["z_sym"], 0, _bucket(n_z, 64), 0)))[:n_z].reshape(-1)
-        ch = hyp["z_sym"].shape[1]
-        z_idx = np.tile(np.arange(ch, dtype=np.int32), n_z)
-        z_bytes = self._t("enc.rans_z", rans.encode_with_indexes,
-                          z_vals, z_idx, zt["cdf"], zt["cdf_length"], zt["offset"])
-
+            hyp["z_sym"][:_bucket(n_z, 64)]))[:n_z]
         ypre = _bucket(n_y, 64)
-        y_vals = self._t("enc.fetch_y", lambda: np.asarray(
-            y_sym[:ypre]))[:n_y].reshape(-1)
-        y_idx = np.asarray(dec["indexes"][:ypre])[:n_y].reshape(-1)
-        y_bytes = self._t("enc.rans_y", rans.encode_with_indexes,
-                          y_vals, y_idx, yt["cdf"], yt["cdf_length"], yt["offset"])
+        y_vals = self._t("enc.fetch_y", lambda: np.asarray(y_sym[:ypre]))[:n_y]
+        y_idx = np.asarray(dec["indexes"][:ypre])[:n_y]
 
-        morton = y_keys_np[yv] & ((1 << C.BATCH_SHIFT) - 1)
-        coord_bytes = self._t("enc.octree", octree.encode, morton, levels)
+        k_all = np.asarray(enc["k"])  # [3, 64]
+        blocks = []
+        for i, origin in enumerate(origins):
+            zi = z_vals[z_ofs[i]:z_ofs[i + 1]].reshape(-1)
+            z_idx = np.tile(np.arange(zch, dtype=np.int32), int(nz_b[i]))
+            z_bytes = self._t("enc.rans_z", rans.encode_with_indexes,
+                              zi, z_idx, zt["cdf"], zt["cdf_length"],
+                              zt["offset"])
+            yi = y_vals[y_ofs[i]:y_ofs[i + 1]].reshape(-1)
+            yidx_i = y_idx[y_ofs[i]:y_ofs[i + 1]].reshape(-1)
+            y_bytes = self._t("enc.rans_y", rans.encode_with_indexes,
+                              yi, yidx_i, yt["cdf"], yt["cdf_length"],
+                              yt["offset"])
+            morton = (y_keys_np[yv][y_ofs[i]:y_ofs[i + 1]] & key_mask)
+            coord_bytes = self._t("enc.octree", octree.encode, morton, levels)
 
-        if self.debug:
-            self.debug_info.append({
-                "side": "enc", "y_sym": y_vals.copy(), "z_sym": z_vals.copy(),
-                "y_idx": y_idx.copy(), "y_keys": y_keys_np[yv].copy(),
-                "scales": np.asarray(dec["scales_hat"])[yv].copy(),
-                "means": np.asarray(dec["means_hat"])[yv].copy()})
+            if self.debug:
+                self.debug_info.append({
+                    "side": "enc", "y_sym": yi.copy(), "z_sym": zi.copy(),
+                    "y_idx": yidx_i.copy(), "y_keys": morton.copy(),
+                    "scales": np.asarray(dec["scales_hat"][:ypre])[:n_y][
+                        y_ofs[i]:y_ofs[i + 1]].copy(),
+                    "means": np.asarray(dec["means_hat"][:ypre])[:n_y][
+                        y_ofs[i]:y_ofs[i + 1]].copy()})
 
-        k = np.asarray(enc["k"])[:, 0]  # single-block batch 0
-        return {"origin": origin, "levels": levels, "n_y": n_y, "n_z": n_z,
-                "q": (float(qv[0, 0]), float(qv[0, 1])), "k": k.tolist(),
-                "coord_bytes": coord_bytes, "y_bytes": y_bytes,
-                "z_bytes": z_bytes}
+            blocks.append({"origin": origin, "levels": levels,
+                           "n_y": int(ny_b[i]), "n_z": int(nz_b[i]),
+                           "q": (float(qv[0, 0]), float(qv[0, 1])),
+                           "k": k_all[:, i].tolist(),
+                           "coord_bytes": coord_bytes, "y_bytes": y_bytes,
+                           "z_bytes": z_bytes})
+        return blocks
 
     # -- decode --------------------------------------------------------------
 
@@ -285,74 +325,103 @@ class Codec:
         assert self.tables is not None, "call update() first"
         blocks, scaling_factor = bitstream.read_container(path_or_bytes)
         outs = []
-        for blk in blocks:
-            outs.append(self._decompress_block(blk))
+        for i in range(0, len(blocks), MAX_GROUP):
+            outs.append(self._decompress_group(blocks[i:i + MAX_GROUP]))
         x = np.concatenate(outs, axis=0)
         if scaling_factor != 1.0:
             x[:, :3] = x[:, :3] * scaling_factor
         return x
 
-    def _decompress_block(self, blk):
+    def _decompress_group(self, blks):
+        """Decode up to MAX_GROUP blocks in one batched device pass."""
+        g = len(blks)
         zt, yt = self.tables["z"], self.tables["y"]
-        morton = octree.decode(blk["coord_bytes"], blk["levels"], blk["n_y"] + 8)
-        assert morton.size == blk["n_y"], "coordinate count mismatch"
-        ycap = _bucket(blk["n_y"])
-        y_keys_np = np.full(ycap, np.iinfo(np.int64).max, np.int64)
-        y_keys_np[:morton.size] = morton  # batch 0 bits are zero
+        sent = np.iinfo(np.int64).max
+
+        # coordinates: per-block octree decode, batched keys in batch-major
+        # order (already sorted: batch bits are the key's high bits)
+        mortons = [octree.decode(b["coord_bytes"], b["levels"], b["n_y"] + 8)
+                   for b in blks]
+        for b, m in zip(blks, mortons):
+            assert m.size == b["n_y"], "coordinate count mismatch"
+        n_y = sum(b["n_y"] for b in blks)
+        ycap = _bucket(n_y)
+        y_keys_np = np.full(ycap, sent, np.int64)
+        pos = 0
+        for i, m in enumerate(mortons):
+            y_keys_np[pos:pos + len(m)] = m | (np.int64(i) << C.BATCH_SHIFT)
+            pos += len(m)
         y_keys = jnp.asarray(y_keys_np)
 
-        # z symbols decode straight off the header counts: channel-major
-        # indexes need no device work, and z coordinates (the valid prefix
-        # of the derived z set) are recomputed inside the params graph
-        n_z = blk["n_z"]
-        ch = zt["cdf"].shape[0]
-        z_idx = np.tile(np.arange(ch, dtype=np.int32), n_z)
-        z_vals = self._t("dec.rans_z", rans.decode_with_indexes,
-                         blk["z_bytes"], z_idx, zt["cdf"],
-                         zt["cdf_length"], zt["offset"])
+        # z symbols per block, concatenated in batch-major prefix order
+        zch = zt["cdf"].shape[0]
+        z_rows = []
+        for b in blks:
+            z_idx = np.tile(np.arange(zch, dtype=np.int32), b["n_z"])
+            vals = self._t("dec.rans_z", rans.decode_with_indexes,
+                           b["z_bytes"], z_idx, zt["cdf"], zt["cdf_length"],
+                           zt["offset"])
+            z_rows.append(vals.reshape(b["n_z"], zch))
         from ..models.entropy.hyperprior import MeanScaleHyperprior
         zf = self.model.config["entropy_model"].get(
             "cap_factors", MeanScaleHyperprior.cap_factors)
         zcap = int(zf[1] * ycap)
-        z_sym = np.zeros((zcap, ch), np.int32)
-        z_sym[:n_z] = z_vals.reshape(n_z, ch)
+        z_sym = np.zeros((zcap, zch), np.int32)
+        z_all = np.concatenate(z_rows) if z_rows else np.zeros((0, zch), np.int32)
+        z_sym[:len(z_all)] = z_all
 
-        qv = jnp.asarray(np.asarray(blk["q"], np.float32).reshape(1, 2))
-        _, z_rn_idx, z_rn_ok = F.host_root_neighbors(y_keys_np, 2, zcap)
+        qv = jnp.asarray(np.asarray(blks[0]["q"], np.float32).reshape(1, 2))
+        _, z_rn_idx, z_rn_ok = self._t(
+            "dec.host_root", F.host_root_neighbors, y_keys_np, 2, zcap)
         dec = self._t("dec.params", self._params_graph(ycap, zcap),
                       self.params, y_keys, jnp.asarray(z_sym), qv,
                       jnp.asarray(z_rn_idx), jnp.asarray(z_rn_ok))
 
-        n_y = blk["n_y"]
         ypre = _bucket(n_y, 64)
         y_idx = self._t("dec.fetch_idx", lambda: np.asarray(
-            dec["indexes"][:ypre]))[:n_y].reshape(-1)
-        y_vals = self._t("dec.rans_y", rans.decode_with_indexes,
-                         blk["y_bytes"], y_idx, yt["cdf"],
-                         yt["cdf_length"], yt["offset"])
+            dec["indexes"][:ypre]))[:n_y]
         cb = self.model.config["entropy_model"]["C_bottleneck"]
         y_sym = np.zeros((ycap, cb), np.int32)
-        y_sym[:n_y] = y_vals.reshape(n_y, cb)
-        yv = y_keys_np != np.iinfo(np.int64).max
+        pos = 0
+        for b in blks:
+            idx_i = y_idx[pos:pos + b["n_y"]].reshape(-1)
+            vals = self._t("dec.rans_y", rans.decode_with_indexes,
+                           b["y_bytes"], idx_i, yt["cdf"], yt["cdf_length"],
+                           yt["offset"])
+            y_sym[pos:pos + b["n_y"]] = vals.reshape(b["n_y"], cb)
+            pos += b["n_y"]
 
         if self.debug:
-            self.debug_info.append({
-                "side": "dec", "y_sym": y_vals.copy(), "z_sym": z_vals.copy(),
-                "y_idx": y_idx.copy(), "y_keys": y_keys_np[yv].copy(),
-                "scales": np.asarray(dec["scales_hat"])[yv].copy(),
-                "means": np.asarray(dec["means_hat"])[yv].copy()})
+            yv = y_keys_np != sent
+            pos = 0
+            for i, b in enumerate(blks):
+                sl = slice(pos, pos + b["n_y"])
+                self.debug_info.append({
+                    "side": "dec", "y_sym": y_sym[:n_y][sl].reshape(-1).copy(),
+                    "z_sym": z_all[int(sum(x["n_z"] for x in blks[:i])):
+                                   int(sum(x["n_z"] for x in blks[:i + 1]))]
+                    .reshape(-1).copy(),
+                    "y_idx": y_idx[sl].reshape(-1).copy(),
+                    "y_keys": (y_keys_np[:n_y][sl]
+                               & ((1 << C.BATCH_SHIFT) - 1)).copy(),
+                    "scales": np.asarray(dec["scales_hat"][:ypre])[:n_y][sl].copy(),
+                    "means": np.asarray(dec["means_hat"][:ypre])[:n_y][sl].copy()})
+                pos += b["n_y"]
 
-        k = np.zeros((3, self.model.config.get("max_batch", 8)), np.int32)
-        k[:, 0] = blk["k"]
-        prune_caps = tuple(_bucket(int(v)) for v in blk["k"])
-        keys, feats = self._t("dec.reconstruct",
-                              self._reconstruct_graph(ycap, prune_caps),
-                              self.params, y_keys, jnp.asarray(y_sym), dec,
-                              jnp.asarray(k))
+        k = np.zeros((3, 64), np.int32)
+        for i, b in enumerate(blks):
+            k[:, i] = b["k"]
+        prune_caps = tuple(_bucket(int(k[l].sum())) for l in range(3))
+        batch_u8, morton_i32, colors8 = self._t(
+            "dec.reconstruct", self._reconstruct_graph(ycap, prune_caps),
+            self.params, y_keys, jnp.asarray(y_sym), dec, jnp.asarray(k))
 
-        keys_np = self._t("dec.fetch_out", lambda: np.asarray(keys))
-        v = keys_np >= 0
-        units = C.morton_decode_np(keys_np[v].astype(np.int64))
-        colors = np.asarray(feats)[v].astype(np.float32) / 255.0
-        xyz = units + np.asarray(blk["origin"], np.int32)
+        bu = self._t("dec.fetch_out", lambda: np.asarray(batch_u8))
+        mi = np.asarray(morton_i32)
+        co = np.asarray(colors8)
+        v = mi >= 0
+        units = C.morton_decode_np(mi[v].astype(np.int64))
+        origins = np.asarray([b["origin"] for b in blks], np.int32)
+        xyz = units + origins[np.minimum(bu[v], g - 1)]
+        colors = co[v].astype(np.float32) / 255.0
         return np.concatenate([xyz.astype(np.float32), colors], axis=1)
