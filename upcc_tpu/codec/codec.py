@@ -225,7 +225,7 @@ class Codec:
             "cap_factors", MeanScaleHyperprior.cap_factors)
         ga_factors = self.model.config["g_a"].get("cap_factors",
                                                   (0.5, 0.25, 0.125))
-        ga_root_cap = int(ga_factors[2] * cap)
+        ga_root_cap = max(int(ga_factors[2] * cap), min(cap, 8192))
         _, ga_rn_idx, ga_rn_ok = self._t(
             "enc.host_root", F.host_root_neighbors, keys_host, 4, ga_root_cap)
 

@@ -39,7 +39,8 @@ def _load():
 def encode(morton_codes, levels):
     """morton_codes: sorted unique int64 [N] (< 8**levels) -> bytes."""
     codes = np.ascontiguousarray(morton_codes, np.int64)
-    assert codes.size > 0
+    if codes.size == 0:
+        return b""
     lib = _load()
     if lib:
         cap = codes.size * 8 + (1 << 12)
@@ -55,6 +56,8 @@ def encode(morton_codes, levels):
 
 def decode(data, levels, max_points):
     """bytes -> sorted int64 morton codes [N]."""
+    if len(data) == 0:
+        return np.zeros(0, np.int64)
     buf = np.frombuffer(data, np.uint8)
     lib = _load()
     if lib:

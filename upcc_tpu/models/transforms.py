@@ -56,7 +56,11 @@ class AnalysisTransform(nn.Module):
         parent links come from stable compactions, neighbor maps derive
         top-down from a single binary search at the stride-16 root
         (ops/family.py pyramid)."""
-        caps = [int(f * x.capacity) for f in self.cap_factors]
+        # fractional caps with a floor: economy at production scale without
+        # clipping small multi-block groups (downsampling may barely shrink
+        # tiny or scattered inputs)
+        floor = min(x.capacity, 8192)
+        caps = [max(int(f * x.capacity), floor) for f in self.cap_factors]
         # levels: 0=input(stride1), 1=s2, 2=s4, 3=s8 (y), 4=s16 (root)
         levels = F.pyramid(x.keys, caps + [caps[2]], skip_finest_nbr=True,
                            root_nbr=root_nbr)
