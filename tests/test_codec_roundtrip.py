@@ -143,3 +143,43 @@ def test_roundtrip_many_blocks(codec):
         inx = (out[:, 0] >= 128 * (i % 4)) & (out[:, 0] < 128 * (i % 4) + 128) \
             & (out[:, 1] >= 128 * (i // 4)) & (out[:, 1] < 128 * (i // 4) + 128)
         assert inx.sum() > 0
+
+
+def test_codec_matches_eval_forward(codec):
+    """decompress(compress(x)) must equal the model's own eval-mode forward
+    reconstruction (the codec is the deployment form of the same math)."""
+    import jax
+    from upcc_tpu.ops.sparse import from_points_host
+
+    rng = np.random.default_rng(11)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=900)
+    xyz = np.unique(xyz, axis=0)
+    # block-local alignment: the codec translates each block by its origin,
+    # which changes coarse-level voxel-grid parity; compare like-for-like
+    xyz = xyz - xyz.min(axis=0)
+    rgb = rgb[:len(xyz)]
+    rgb = np.round(rgb * 255) / 255  # codec carries 8-bit colors
+    pc = np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+
+    data = codec.compress(pc, q=(0.3, 0.8), block_size=128)
+    dec = codec.decompress(data)
+
+    st = from_points_host(np.zeros(len(xyz), np.int32), xyz, rgb,
+                          capacity=1024)
+    q = jnp.asarray([[0.3, 0.8]], jnp.float32)
+    out = jax.jit(lambda p, st: codec.model.apply(
+        {"params": p}, st, q, jnp.ones((1, 2), jnp.float32),
+        training=False))(codec.params, st)
+    pred = out["prediction"]
+    v = np.asarray(pred.valid)
+    fwd_xyz = np.asarray(pred.units)[v]
+    fwd_col = np.clip(np.round(np.asarray(pred.feats)[v] * 255), 0, 255) / 255
+
+    # same point set
+    got = {tuple(r) for r in dec[:, :3].astype(int)}
+    exp = {tuple(r) for r in fwd_xyz.astype(int)}
+    assert got == exp, f"{len(got ^ exp)} differing points"
+    # same colors at the same points (match rows by coordinates)
+    dec_sorted = dec[np.lexsort(dec[:, :3].T[::-1])]
+    ordf = np.lexsort(fwd_xyz.T[::-1])
+    np.testing.assert_allclose(dec_sorted[:, 3:], fwd_col[ordf], atol=1.5 / 255)
