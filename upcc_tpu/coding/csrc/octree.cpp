@@ -10,6 +10,7 @@
 //
 // Build: g++ -O3 -shared -fPIC octree.cpp -o liboctree.so
 
+#include <algorithm>
 #include <cstddef>
 #include <cstdint>
 #include <vector>
@@ -98,10 +99,58 @@ struct Decoder {
   }
 };
 
-// context: [level(<=21)][child slot(8)][bits-so-far pattern(128)]
+// context: [level bucket(4)][6-neighbor occupancy count(7)]
+//          [child slot(8)][bits-so-far sibling pattern(128)]
+// The 6-neighbor count of the *node being expanded* is known to encoder and
+// decoder alike (the whole node set of a level is decoded before any of its
+// occupancy bytes), the same structural idea as G-PCC's neighbour contexts.
 constexpr int kMaxLevels = 21;
-inline int ctx_index(int level, int slot, int pattern) {
-  return ((level * 8) + slot) * 128 + pattern;
+constexpr int kCtxCount = 4 * 7 * 8 * 128;
+inline int level_bucket(int level, int levels) {
+  int from_leaf = levels - level;  // 1 = last level before leaves
+  if (from_leaf <= 1) return 0;
+  if (from_leaf == 2) return 1;
+  if (from_leaf == 3) return 2;
+  return 3;
+}
+inline int ctx_index(int lb, int nbr6, int slot, int pattern) {
+  return (((lb * 7) + nbr6) * 8 + slot) * 128 + pattern;
+}
+
+// decode morton code -> 3 coords (21 bits each)
+inline void morton_to_xyz(int64_t m, int64_t* x) {
+  for (int a = 0; a < 3; ++a) {
+    int64_t v = 0;
+    for (int b = 0; b < 21; ++b) v |= ((m >> (3 * b + 2 - a)) & 1) << b;
+    x[a] = v;
+  }
+}
+
+inline int64_t xyz_to_morton(const int64_t* x) {
+  int64_t m = 0;
+  for (int a = 0; a < 3; ++a)
+    for (int b = 0; b < 21; ++b) m |= ((x[a] >> b) & 1) << (3 * b + 2 - a);
+  return m;
+}
+
+// count occupied face-neighbors of `code` within the sorted level set
+inline int count_nbr6(const std::vector<int64_t>& nodes, int64_t code,
+                      int level_bits) {
+  int64_t x[3];
+  morton_to_xyz(code, x);
+  int cnt = 0;
+  const int64_t lim = int64_t(1) << level_bits;
+  for (int a = 0; a < 3; ++a) {
+    for (int d = -1; d <= 1; d += 2) {
+      int64_t q[3] = {x[0], x[1], x[2]};
+      q[a] += d;
+      if (q[a] < 0 || q[a] >= lim) continue;
+      int64_t mc = xyz_to_morton(q);
+      auto it = std::lower_bound(nodes.begin(), nodes.end(), mc);
+      if (it != nodes.end() && *it == mc) ++cnt;
+    }
+  }
+  return cnt > 6 ? 6 : cnt;
 }
 
 }  // namespace
@@ -113,17 +162,20 @@ extern "C" {
 int64_t octree_encode(const int64_t* codes, int64_t n, int levels,
                       uint8_t* out, int64_t out_cap) {
   if (levels > kMaxLevels) return -3;
-  std::vector<uint16_t> probs((size_t)kMaxLevels * 8 * 128, 1u << (kProbBits - 1));
+  std::vector<uint16_t> probs(kCtxCount, 1u << (kProbBits - 1));
   Encoder enc;
   enc.out.reserve((size_t)(n / 2 + 64));
 
-  // nodes at the current level, as (start, end) ranges into `codes`
-  std::vector<int64_t> starts{0}, ends{n};
+  // nodes at the current level, as (start, end) ranges into `codes`,
+  // plus the node prefix codes themselves for neighbor contexts
+  std::vector<int64_t> starts{0}, ends{n}, nodes{0};
   for (int level = 0; level < levels; ++level) {
     const int shift = 3 * (levels - level - 1);
-    std::vector<int64_t> nstarts, nends;
+    const int lb = level_bucket(level, levels);
+    std::vector<int64_t> nstarts, nends, nnodes;
     nstarts.reserve(starts.size() * 4);
     nends.reserve(starts.size() * 4);
+    nnodes.reserve(starts.size() * 4);
     for (size_t k = 0; k < starts.size(); ++k) {
       int64_t s = starts[k], e = ends[k];
       // child boundaries: cs[c]..cs[c+1] is child c's range
@@ -134,20 +186,23 @@ int64_t octree_encode(const int64_t* codes, int64_t n, int levels,
         while (p < e && (int)((codes[p] >> shift) & 7) == c) ++p;
       }
       cs[8] = e;
+      const int nb6 = count_nbr6(nodes, nodes[k], level);
       int pattern = 0;
       for (int c = 0; c < 8; ++c) {
         int bit = cs[c + 1] > cs[c] ? 1 : 0;
-        uint16_t& pr = probs[ctx_index(level, c, pattern)];
+        uint16_t& pr = probs[ctx_index(lb, nb6, c, pattern)];
         enc.encode(bit, pr);
         pattern = ((pattern << 1) | bit) & 127;
         if (bit && level + 1 < levels) {
           nstarts.push_back(cs[c]);
           nends.push_back(cs[c + 1]);
+          nnodes.push_back((nodes[k] << 3) | c);
         }
       }
     }
     starts.swap(nstarts);
     ends.swap(nends);
+    nodes.swap(nnodes);
   }
   enc.flush();
   if ((int64_t)enc.out.size() > out_cap) return -1;
@@ -159,18 +214,20 @@ int64_t octree_encode(const int64_t* codes, int64_t n, int levels,
 int64_t octree_decode(const uint8_t* data, int64_t nbytes, int levels,
                       int64_t* out, int64_t out_cap) {
   if (levels > kMaxLevels) return -3;
-  std::vector<uint16_t> probs((size_t)kMaxLevels * 8 * 128, 1u << (kProbBits - 1));
+  std::vector<uint16_t> probs(kCtxCount, 1u << (kProbBits - 1));
   Decoder dec{data, nbytes};
   dec.init();
 
   std::vector<int64_t> nodes{0};  // morton prefixes at current level
   for (int level = 0; level < levels; ++level) {
+    const int lb = level_bucket(level, levels);
     std::vector<int64_t> next;
     next.reserve(nodes.size() * 4);
     for (int64_t node : nodes) {
+      const int nb6 = count_nbr6(nodes, node, level);
       int pattern = 0;
       for (int c = 0; c < 8; ++c) {
-        uint16_t& pr = probs[ctx_index(level, c, pattern)];
+        uint16_t& pr = probs[ctx_index(lb, nb6, c, pattern)];
         int bit = dec.decode(pr);
         pattern = ((pattern << 1) | bit) & 127;
         if (bit) next.push_back((node << 3) | c);
