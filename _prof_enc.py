@@ -1,0 +1,37 @@
+import time, numpy as np, jax, jax.numpy as jnp
+import upcc_tpu
+from upcc_tpu.codec import Codec
+from upcc_tpu.data.synthetic import surface_cloud
+from upcc_tpu.models.unified import UnifiedModel
+from upcc_tpu.ops.sparse import from_points_host
+T0=time.time()
+def log(*a): print(f"[{time.time()-T0:7.1f}s]", *a, flush=True)
+
+n = 128
+cfg = {"max_batch": 8,
+ "g_a": {"C_in": 4, "N1": n, "N2": n, "N3": n, "N4": n},
+ "g_s": {"C_out": 3, "N1": n, "N2": n, "N3": n, "N4": n},
+ "entropy_model": {"C_bottleneck": n, "C_hyper_bottleneck": 192,
+  "quantization_mode": "ste", "inverse_rescaling": True, "quantization_offset": True}}
+model = UnifiedModel(cfg)
+rng = np.random.default_rng(0)
+xyz, rgb = surface_cloud(rng, extent=64, n_target=1500)
+st0 = from_points_host(np.zeros(len(xyz), np.int32), xyz, rgb, capacity=2048)
+q = jnp.full((1,2), 0.5, jnp.float32)
+params = jax.jit(model.init)({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, st0, q, jnp.ones((1,2), jnp.float32))["params"]
+codec = Codec(model, params); codec.update()
+xyz, rgb = surface_cloud(np.random.default_rng(5), extent=1024, n_target=760_000)
+frame = np.concatenate([xyz.astype(np.float32), rgb], 1)
+data = codec.compress(frame, q=(0.5,0.5), block_size=1024)
+out = codec.decompress(data)
+log("warm")
+codec.profile = True
+for rep in range(3):
+    codec.stage_times = {}
+    t0=time.time(); data = codec.compress(frame, q=(0.5,0.5), block_size=1024); te=time.time()-t0
+    t0=time.time(); out = codec.decompress(data); td=time.time()-t0
+    tracked_e = sum(v for k,v in codec.stage_times.items() if k.startswith("enc"))
+    tracked_d = sum(v for k,v in codec.stage_times.items() if k.startswith("dec"))
+    log(f"rep{rep}: enc {te:.2f}s (tracked {tracked_e:.2f}) dec {td:.2f}s (tracked {tracked_d:.2f})")
+    for k2, v in sorted(codec.stage_times.items()):
+        if v > 0.15: log(f"   {k2}: {v:.2f}s")

@@ -1,0 +1,76 @@
+"""Data-parallel training correctness on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import upcc_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+
+def test_dp_matches_single_device():
+    """pmean-of-grads over the mesh == grads of the mean loss computed
+    sequentially over the same shards."""
+    from upcc_tpu.data.synthetic import batch_of_cubes
+    from upcc_tpu.models.unified import UnifiedModel
+    from upcc_tpu.ops.sparse import from_points_host, SparseTensor
+    from upcc_tpu.parallel.data_parallel import (make_dp_train_step, make_mesh,
+                                                 shard_batch)
+    from upcc_tpu.training.loss import Loss
+    from upcc_tpu.training.train_step import TrainState, make_optimizer
+
+    cfg = {"max_batch": 1,
+           "g_a": {"C_in": 4, "N1": 8, "N2": 8, "N3": 8, "N4": 8},
+           "g_s": {"C_out": 3, "N1": 8, "N2": 8, "N3": 8, "N4": 8},
+           "entropy_model": {"C_bottleneck": 8, "C_hyper_bottleneck": 12,
+                             "quantization_mode": "ste",
+                             "inverse_rescaling": True,
+                             "quantization_offset": True}}
+    model = UnifiedModel(cfg)
+    loss_cfg = {"color": {"type": "ColorLoss", "loss": "L2"},
+                "bpp-y": {"type": "BPPLoss", "key": "y", "weight": 1.0}}
+    loss_obj = Loss(loss_cfg, max_batch=1)
+
+    cap = 512
+    rng = np.random.default_rng(0)
+    keys, feats = [], []
+    for d in range(8):
+        b, x, c = batch_of_cubes(np.random.default_rng(d), 1, extent=16,
+                                 n_per=150, capacity=cap)
+        st = from_points_host(b, x, c, capacity=cap)
+        keys.append(st.keys)
+        feats.append(st.feats)
+    keys = jnp.stack(keys)
+    feats = jnp.stack(feats)
+    q = jnp.full((8, 1, 2), 0.5, jnp.float32)
+    lam = jnp.full((8, 1, 2), 2.0, jnp.float32)
+    # deterministic losses: fixed rng key per shard (STE path still draws
+    # noise for the likelihood, so use the same key logic on both sides)
+    rngs = jnp.stack([jax.random.PRNGKey(7)] * 8)
+
+    st0 = SparseTensor(keys=keys[0], feats=feats[0], stride=1)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0),
+                                  "noise": jax.random.PRNGKey(1)},
+                                 st0, q[0], lam[0])["params"]
+    opt = make_optimizer({"model_learning_rate": 1e-4,
+                          "bottleneck_learning_rate": 1e-3})
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    mesh = make_mesh(8)
+    step = make_dp_train_step(model, loss_obj, opt, mesh)
+    args = shard_batch(mesh, keys, feats, q, lam, rngs)
+    _, metrics_dp = step(state, *args)
+
+    # sequential reference: mean loss over the 8 shards
+    def shard_loss(params, i):
+        st = SparseTensor(keys=keys[i], feats=feats[i], stride=1)
+        out = model.apply({"params": params}, st, q[0], lam[0],
+                          training=True, rngs={"noise": jax.random.PRNGKey(7)})
+        main, _ = loss_obj(st, out)
+        aux = model.apply({"params": params}, method=model.aux_loss)
+        return main + aux
+
+    losses = [float(jax.jit(shard_loss, static_argnums=1)(params, i))
+              for i in range(8)]
+    np.testing.assert_allclose(float(metrics_dp["loss"]), np.mean(losses),
+                               rtol=2e-4)
