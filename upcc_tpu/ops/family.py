@@ -248,19 +248,24 @@ def host_root_neighbors(keys_np, levels_down, cap):
     for _ in range(levels_down):
         m = np.unique((m & ~key_mask) | ((m & key_mask) >> 3))
     m = m[:cap]
+    n = len(m)
     keys = np.full(cap, sent, np.int64)
-    keys[:len(m)] = m
+    keys[:n] = m
 
-    units = C.morton_decode_np(keys & key_mask)
-    bbits = keys & ~key_mask
-    nu = units[:, None, :] + _EPS_OFFSETS[None]  # [P, 27, 3]
-    ok = np.all(nu >= 0, -1) & np.all(nu < (1 << C.COORD_BITS), -1) \
-        & (keys != sent)[:, None]
+    # work only on the valid prefix; the padded tail is all-invalid
+    units = C.morton_decode_np(m & key_mask)
+    bbits = m & ~key_mask
+    nu = units[:, None, :] + _EPS_OFFSETS[None]  # [n, 27, 3]
+    ok = np.all(nu >= 0, -1) & np.all(nu < (1 << C.COORD_BITS), -1)
     nk = np.where(ok, bbits[:, None] | C.morton_encode_np(np.maximum(nu, 0)),
                   sent)
-    idx = np.minimum(np.searchsorted(keys, nk.reshape(-1)), cap - 1) \
+    ii = np.minimum(np.searchsorted(m, nk.reshape(-1)), max(n - 1, 0)) \
         .astype(np.int32).reshape(nk.shape)
-    found = (keys[idx] == nk) & (nk != sent)
+    ff = (m[ii] == nk) & (nk != sent) if n else np.zeros_like(ok)
+    idx = np.zeros((cap, 27), np.int32)
+    found = np.zeros((cap, 27), bool)
+    idx[:n] = ii
+    found[:n] = ff
     return keys, idx, found
 
 
