@@ -126,10 +126,13 @@ class SparseSynthesisTransform(nn.Module):
     prune_cap_factors: Sequence[float] = (2.0, 4.0, 8.0)
 
     @nn.compact
-    def __call__(self, y: SparseTensor, k, prune_caps=None, y_struct=None):
+    def __call__(self, y: SparseTensor, k, prune_caps=None, y_struct=None,
+                 num_levels=3):
         """y: latents (stride 8). k: int32[3, max_batch] target counts.
         prune_caps: optional static (c1, c2, c3) pruned-level capacities
         (the decoder sizes these from the transmitted k).
+        num_levels: static number of upsampling levels to run (3 = full
+        resolution; fewer gives a progressive coarse decode).
         y_struct: optional precomputed stride-16 structure
         {parent_keys, pp, sl, nbr_idx, nbr_ok} (the decoder reuses the
         params graph's pyramid so g_s performs zero searches).
@@ -172,6 +175,8 @@ class SparseSynthesisTransform(nn.Module):
         ]
         import jax
         for lvl, (cin, cout, tname, pcin, pchid, pname) in enumerate(specs):
+            if lvl >= num_levels:
+                break
             parent_keys = x.keys
             child_keys = upsample_children_keys(parent_keys)
             cf = F.child_family(parent_keys, nbr=nbr)
@@ -202,6 +207,8 @@ class SparseSynthesisTransform(nn.Module):
                 x = x.replace(feats=GDN(cout, inverse=True,
                                         name=f"igdn{lvl + 2}")(x.feats))
 
-        f = PointwiseConv(self.N1 // 4, self.C_out, name="color_conv")(
-            x.feats, x.valid)
-        return x.replace(feats=f), cands, logits_list
+        if num_levels == 3:
+            f = PointwiseConv(self.N1 // 4, self.C_out, name="color_conv")(
+                x.feats, x.valid)
+            x = x.replace(feats=f)
+        return x, cands, logits_list

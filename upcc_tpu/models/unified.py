@@ -84,12 +84,14 @@ class UnifiedModel(nn.Module):
         return self.entropy_model.decode_params_device(y_keys, z_sym, q,
                                                        root_nbr=root_nbr)
 
-    def decode_reconstruct_device(self, y_keys, y_sym, dec, k, prune_caps=None):
+    def decode_reconstruct_device(self, y_keys, y_sym, dec, k, prune_caps=None,
+                                  num_levels=3):
         """Fused decoder back half: dequantize y symbols + synthesis."""
         y_hat_feats = self.entropy_model.dequantize_y_device(y_sym, dec)
         y_hat = SparseTensor(keys=y_keys, feats=y_hat_feats, stride=8)
         x_hat, _, _ = self.g_s(y_hat, k, prune_caps=prune_caps,
-                               y_struct=dec.get("y_struct"))
+                               y_struct=dec.get("y_struct"),
+                               num_levels=num_levels)
         return x_hat
 
     def decode_synthesis_device(self, y_keys, y_hat_feats, k, prune_caps=None):
