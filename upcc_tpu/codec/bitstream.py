@@ -58,6 +58,8 @@ def read_container(path_or_bytes):
         pos += struct.calcsize("<III")
         k = struct.unpack_from("<iii", data, pos)
         pos += struct.calcsize("<iii")
+        if pos + lc + ly + lz > len(data):
+            raise ValueError("truncated bitstream: payload exceeds container")
         coord_bytes = data[pos:pos + lc]; pos += lc
         y_bytes = data[pos:pos + ly]; pos += ly
         z_bytes = data[pos:pos + lz]; pos += lz
