@@ -183,3 +183,16 @@ def test_codec_matches_eval_forward(codec):
     dec_sorted = dec[np.lexsort(dec[:, :3].T[::-1])]
     ordf = np.lexsort(fwd_xyz.T[::-1])
     np.testing.assert_allclose(dec_sorted[:, 3:], fwd_col[ordf], atol=1.5 / 255)
+
+
+def test_corrupt_streams_raise(codec):
+    rng = np.random.default_rng(21)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=700)
+    pc = np.concatenate([xyz.astype(np.float32), rgb], 1)
+    data = codec.compress(pc, q=(0.5, 0.5), block_size=128)
+    with pytest.raises(Exception):
+        codec.decompress(data[: len(data) // 2])
+    with pytest.raises(Exception):
+        codec.decompress(b"definitely-not-a-bitstream")
+    # intact stream still fine afterwards
+    assert codec.decompress(data).shape[1] == 6
