@@ -62,9 +62,12 @@ class SparseTensor:
         """int32[max_batch] valid point count per batch index.
 
         Replaces the per-batch python loop in the reference
-        (/root/reference/model/transforms.py:47-64) with one segment-sum."""
+        (/root/reference/model/transforms.py:47-64).  Computed as a masked
+        one-hot reduction — colliding scatter-adds (bincount) serialize on
+        TPU."""
         b = jnp.where(self.valid, self.batch, max_batch)
-        return jnp.bincount(b, length=max_batch + 1)[:max_batch]
+        onehot = (b[:, None] == jnp.arange(max_batch, dtype=b.dtype)[None, :])
+        return jnp.sum(onehot, axis=0, dtype=jnp.int32)
 
     def mask_feats(self):
         return self.feats * self.valid[:, None].astype(self.feats.dtype)
