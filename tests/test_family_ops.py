@@ -180,3 +180,24 @@ def test_derive_on_child_subset():
     np.testing.assert_array_equal(np.asarray(d_ok), np.asarray(s_ok))
     ok = np.asarray(d_ok)
     np.testing.assert_array_equal(np.asarray(d_idx)[ok], np.asarray(s_idx)[ok])
+
+
+def test_host_root_neighbors_match_device():
+    """The host (numpy) root map must equal the device-computed one —
+    the codec's bit-exactness depends on it."""
+    st = make_st(12, n=500, extent=40, batches=3, cap=1024)
+    keys_np = np.asarray(st.keys)
+    for levels_down, cap in [(2, 256), (4, 128)]:
+        hk, hidx, hok = F.host_root_neighbors(keys_np, levels_down, cap,
+                                              [cap] * levels_down)
+
+        def dev(keys):
+            k = keys
+            for _ in range(levels_down):
+                k = downsample_keys(k, cap)
+            return k, F.root_neighbors(k)
+        dk, (didx, dok) = jax.jit(dev)(st.keys)
+        np.testing.assert_array_equal(hk, np.asarray(dk))
+        np.testing.assert_array_equal(hok, np.asarray(dok))
+        ok = hok
+        np.testing.assert_array_equal(hidx[ok], np.asarray(didx)[ok])

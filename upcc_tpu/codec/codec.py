@@ -225,9 +225,14 @@ class Codec:
             "cap_factors", MeanScaleHyperprior.cap_factors)
         ga_factors = self.model.config["g_a"].get("cap_factors",
                                                   (0.5, 0.25, 0.125))
-        ga_root_cap = max(int(ga_factors[2] * cap), min(cap, 8192))
+        floor = min(cap, 8192)
+        ga_caps = [max(int(f * cap), floor) for f in ga_factors]
+        ga_root_cap = ga_caps[2]
+        # per-level caps must mirror AnalysisTransform's pyramid exactly
+        # (levels: s2, s4, s8, s16-root)
         _, ga_rn_idx, ga_rn_ok = self._t(
-            "enc.host_root", F.host_root_neighbors, keys_host, 4, ga_root_cap)
+            "enc.host_root", F.host_root_neighbors, keys_host, 4, ga_root_cap,
+            ga_caps + [ga_caps[2]])
 
         key_mask = (1 << C.BATCH_SHIFT) - 1
         sent = np.iinfo(np.int64).max
@@ -254,7 +259,8 @@ class Codec:
 
         z_root_cap = int(zf[1] * ycap)
         _, z_rn_idx, z_rn_ok = self._t(
-            "enc.host_root_z", F.host_root_neighbors, y_keys_np, 2, z_root_cap)
+            "enc.host_root_z", F.host_root_neighbors, y_keys_np, 2, z_root_cap,
+            [int(zf[0] * ycap), z_root_cap])
         z_rn = (jnp.asarray(z_rn_idx), jnp.asarray(z_rn_ok))
         hyp = self._t("enc.hyper", self._hyper_analyze(ycap), self.params,
                       y_keys, y_feats, *z_rn)
@@ -372,7 +378,8 @@ class Codec:
 
         qv = jnp.asarray(np.asarray(blks[0]["q"], np.float32).reshape(1, 2))
         _, z_rn_idx, z_rn_ok = self._t(
-            "dec.host_root", F.host_root_neighbors, y_keys_np, 2, zcap)
+            "dec.host_root", F.host_root_neighbors, y_keys_np, 2, zcap,
+            [int(zf[0] * ycap), zcap])
         dec = self._t("dec.params", self._params_graph(ycap, zcap),
                       self.params, y_keys, jnp.asarray(z_sym), qv,
                       jnp.asarray(z_rn_idx), jnp.asarray(z_rn_ok))

@@ -234,7 +234,7 @@ def root_neighbors(keys):
     return _parent_neighbors(keys)
 
 
-def host_root_neighbors(keys_np, levels_down, cap):
+def host_root_neighbors(keys_np, levels_down, cap, level_caps=None):
     """Host (numpy) twin of the pyramid root: downsample `levels_down`
     octree levels, pad to `cap`, and build the 27-neighborhood self map by
     vectorized searchsorted.
@@ -243,13 +243,17 @@ def host_root_neighbors(keys_np, levels_down, cap):
     is set by the static cap, not the true count — is better done on the
     CPU in microseconds and shipped up (cap x 27 x 5 bytes).  Results are
     bit-identical to the device path because both sides apply the same
-    downsample/truncate/sort rules to the same keys."""
+    downsample/truncate/sort rules to the same keys: `level_caps` must
+    match the device pyramid's per-level capacities (truncation happens at
+    *every* level, not just the root)."""
     sent = np.iinfo(np.int64).max
     m = np.asarray(keys_np)
     m = m[m != sent]
     key_mask = (1 << C.BATCH_SHIFT) - 1
-    for _ in range(levels_down):
-        m = np.unique((m & ~key_mask) | ((m & key_mask) >> 3))
+    if level_caps is None:
+        level_caps = [cap] * levels_down
+    for lc in level_caps[:levels_down]:
+        m = np.unique((m & ~key_mask) | ((m & key_mask) >> 3))[:lc]
     m = m[:cap]
     n = len(m)
     keys = np.full(cap, sent, np.int64)
