@@ -19,7 +19,8 @@ def _load():
     try:
         if (not os.path.exists(_lib_path)
                 or os.path.getmtime(_lib_path) < os.path.getmtime(_src)):
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            subprocess.run(["g++", "-O3", "-march=native", "-funroll-loops",
+                            "-shared", "-fPIC", "-std=c++17",
                             _src, "-o", _lib_path], check=True, capture_output=True)
         lib = ctypes.CDLL(_lib_path)
         i64p = ctypes.POINTER(ctypes.c_int64)

@@ -24,7 +24,8 @@ _lib = None
 
 
 def _build_lib():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _src, "-o", _lib_path]
+    cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
+           "-fPIC", "-std=c++17", _src, "-o", _lib_path]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
