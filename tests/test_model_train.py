@@ -110,3 +110,22 @@ def test_qfunc_modes():
     qe = QFunc({**QMAP_CFG, "mode": "exponential"})
     le1 = np.asarray(qe.scale_q_vals(jnp.ones((1, 2))))
     assert np.allclose(le1, [[199, 12799]])
+
+
+def test_gdn_formula():
+    """GDN1 forward == |F| @ gamma + beta divisive norm with the documented
+    init (gamma = 0.1*I, beta = 1)."""
+    from upcc_tpu.models.gdn import GDN
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.standard_normal((32, 8)).astype(np.float32))
+    gdn = GDN(8)
+    params = gdn.init(jax.random.PRNGKey(0), f)
+    out = np.asarray(gdn.apply(params, f))
+    fn = np.asarray(f)
+    norm = np.abs(fn) @ (0.1 * np.eye(8, dtype=np.float32)) + 1.0
+    np.testing.assert_allclose(out, fn / norm, rtol=1e-5, atol=1e-6)
+    # inverse GDN multiplies
+    igdn = GDN(8, inverse=True)
+    ip = igdn.init(jax.random.PRNGKey(0), f)
+    iout = np.asarray(igdn.apply(ip, f))
+    np.testing.assert_allclose(iout, fn * norm, rtol=1e-5, atol=1e-6)
