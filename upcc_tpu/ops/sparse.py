@@ -124,8 +124,15 @@ def from_points(batch, xyz, feats, capacity, stride=1, dedup=True):
 
 
 def voxelize_host_np(batch, xyz, feats, capacity, stride=1, dedup=True):
-    """Host (numpy) voxelization: sorted, dedup'd, sentinel-padded arrays."""
+    """Host voxelization: sorted, dedup'd, sentinel-padded arrays.
+
+    Uses the native C++ voxelizer when available (~10x the numpy path on
+    vox10 frames); falls back to numpy with identical output."""
     import numpy as np
+    if dedup:
+        out = _voxelize_native(batch, xyz, feats, capacity, stride)
+        if out is not None:
+            return out
     batch = np.asarray(batch)
     xyz = np.asarray(xyz)
     feats = np.asarray(feats, np.float32)
@@ -149,9 +156,60 @@ def voxelize_host_np(batch, xyz, feats, capacity, stride=1, dedup=True):
     return out_keys, out_feats
 
 
+_vox_lib = None
+
+
+def _voxelize_native(batch, xyz, feats, capacity, stride):
+    """ctypes call into coding/csrc/voxelize.cpp; None if unavailable."""
+    global _vox_lib
+    import ctypes
+    import os
+    import subprocess
+
+    import numpy as np
+    if _vox_lib is None:
+        here = os.path.join(os.path.dirname(__file__), "..", "coding", "csrc")
+        src = os.path.join(here, "voxelize.cpp")
+        lib_path = os.path.join(here, "libvoxelize.so")
+        try:
+            if (not os.path.exists(lib_path)
+                    or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+                subprocess.run(["g++", "-O3", "-march=native", "-shared",
+                                "-fPIC", "-std=c++17", src, "-o", lib_path],
+                               check=True, capture_output=True)
+            lib = ctypes.CDLL(lib_path)
+            lib.voxelize.restype = ctypes.c_int64
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            lib.voxelize.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, i64p, f32p]
+            _vox_lib = lib
+        except Exception:
+            _vox_lib = False
+    if not _vox_lib:
+        return None
+    batch = np.ascontiguousarray(batch, np.int32)
+    xyz = np.ascontiguousarray(xyz, np.int32)
+    feats = np.ascontiguousarray(feats, np.float32)
+    n, c = feats.shape
+    out_keys = np.empty(capacity, np.int64)
+    out_feats = np.empty((capacity, c), np.float32)
+    import ctypes as ct
+    _vox_lib.voxelize(
+        batch.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        xyz.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        feats.ctypes.data_as(ct.POINTER(ct.c_float)),
+        n, c, stride, capacity,
+        out_keys.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        out_feats.ctypes.data_as(ct.POINTER(ct.c_float)))
+    return out_keys, out_feats
+
+
 def from_points_host(batch, xyz, feats, capacity, stride=1, dedup=True):
-    """Host (numpy) voxelization: sorts on CPU, so the device never compiles
-    a large raw-input sort.  Returns a SparseTensor of device arrays."""
+    """Host voxelization: sorts on CPU, so the device never compiles a
+    large raw-input sort.  Returns a SparseTensor of device arrays."""
     out_keys, out_feats = voxelize_host_np(batch, xyz, feats, capacity,
                                            stride, dedup)
     return SparseTensor(keys=jnp.asarray(out_keys), feats=jnp.asarray(out_feats),
