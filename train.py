@@ -12,13 +12,14 @@ import argparse
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
-    ap.add_argument("--capacity", type=int, default=65536,
-                    help="static per-batch point capacity")
+    ap.add_argument("--capacity", default="auto",
+                    help="static per-batch point capacity (int or 'auto')")
     ap.add_argument("--max_steps_per_epoch", type=int, default=None)
     args = ap.parse_args()
 
+    cap = args.capacity if args.capacity == "auto" else int(args.capacity)
     from upcc_tpu.training.trainer import Training
-    Training(args.config, capacity=args.capacity,
+    Training(args.config, capacity=cap,
              max_steps_per_epoch=args.max_steps_per_epoch).train()
 
 

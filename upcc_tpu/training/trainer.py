@@ -49,7 +49,7 @@ def make_lr_schedule(config, steps_per_epoch):
 
 
 class Training:
-    def __init__(self, config_path, capacity=65536, max_steps_per_epoch=None):
+    def __init__(self, config_path, capacity="auto", max_steps_per_epoch=None):
         with open(config_path) as f:
             self.config = yaml.safe_load(f)
         cfg = self.config
@@ -60,8 +60,8 @@ class Training:
         os.makedirs(self.ckpt_dir, exist_ok=True)
         shutil.copy(config_path, os.path.join(self.results_dir, "config.yaml"))
 
-        self.capacity = capacity
         self.batch_size = cfg.get("batch_size", 8)
+        self.capacity = capacity
         self.epochs = cfg.get("epochs", 300)
         self.val_every = cfg.get("val_every", 10)
         self.max_steps_per_epoch = max_steps_per_epoch
@@ -80,6 +80,18 @@ class Training:
         self.val_ds = StaticDataset(
             data_path, "val", min_points=cfg.get("min_points_test", 0)) \
             if data_path else None
+
+        if self.capacity == "auto":
+            # static batch capacity from the dataset's real cube sizes
+            # (padded work scales ~linearly with capacity)
+            if self.train_ds is not None and len(self.train_ds):
+                counts = np.diff(self.train_ds.offsets)[self.train_ds.indices]
+                top = np.sort(counts)[-self.batch_size:]
+                need = int(top.sum() * 1.1)
+                self.capacity = max(1024, 1 << int(np.ceil(np.log2(need))))
+            else:
+                self.capacity = 65536
+            print(f"auto capacity: {self.capacity}")
 
         self._init_state()
 
