@@ -32,24 +32,54 @@ TEST_SET = {
 }
 
 
-def load_frame(sequence, spec, data_root="./data/raw"):
-    """PLY if available, synthetic surface at matching scale otherwise."""
-    from upcc_tpu.data.ply import read_ply
-    path = os.path.join(data_root, sequence,
-                        f"{sequence}_vox10_{spec['frame']:04d}.ply")
-    if os.path.exists(path):
+def frame_filename(sequence, spec):
+    """Per-sequence PLY naming convention (reference evaluate.py:29-37):
+    vox10 (8iVFBv2) uses 4-digit frame numbers, vox11 (Owlii) 8-digit."""
+    if spec["resolution"] <= 1023:
+        return f"{sequence}_vox10_{spec['frame']:04d}.ply"
+    return f"{sequence}_vox11_{spec['frame']:08d}.ply"
+
+
+def find_frame_path(sequence, spec, data_root="./data/raw"):
+    fname = frame_filename(sequence, spec)
+    dataset = "8iVFB" if spec["resolution"] <= 1023 else "Owlii"
+    for sub in (sequence, dataset, ""):
+        path = os.path.join(data_root, sub, fname)
+        if os.path.exists(path):
+            return path
+    return None
+
+
+def load_frame(sequence, spec, data_root="./data/raw", allow_synthetic=True):
+    """PLY if available; otherwise a synthetic surface at matching scale.
+
+    The synthetic fallback is LOUD and flagged: callers get a second return
+    value `synthetic` that must be propagated into the CSV so benchmark rows
+    produced without real data are never mistaken for real ones.
+    """
+    path = find_frame_path(sequence, spec, data_root)
+    if path is not None:
+        from upcc_tpu.data.ply import read_ply
         xyz, rgb = read_ply(path)
-        return np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+        return np.concatenate([xyz.astype(np.float32), rgb], axis=1), False
+    if not allow_synthetic:
+        raise FileNotFoundError(
+            f"no PLY for {sequence!r} ({frame_filename(sequence, spec)}) "
+            f"under {data_root} and --require_real_data was given")
+    print(f"WARNING: no PLY for {sequence!r} "
+          f"({frame_filename(sequence, spec)}) under {data_root} — "
+          "substituting a SYNTHETIC frame; CSV rows are tagged synthetic=1",
+          flush=True)
     from upcc_tpu.data.synthetic import surface_cloud
     n = 760_000 if spec["resolution"] <= 1023 else 1_200_000
     rng = np.random.default_rng(abs(hash(sequence)) % (2 ** 31))
     xyz, rgb = surface_cloud(rng, extent=spec["resolution"] + 1, n_target=n)
-    return np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+    return np.concatenate([xyz.astype(np.float32), rgb], axis=1), True
 
 
 def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                 data_root="./data/raw", results_path="./results",
-                max_points=None):
+                max_points=None, allow_synthetic=True):
     import jax
     import jax.numpy as jnp
     import flax.serialization as ser
@@ -91,7 +121,8 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
         for seq, spec in TEST_SET.items():
             if sequences and seq not in sequences:
                 continue
-            pc = load_frame(seq, spec, data_root)
+            pc, synthetic = load_frame(seq, spec, data_root,
+                                       allow_synthetic=allow_synthetic)
             if max_points and len(pc) > max_points:
                 pc = pc[np.random.default_rng(0).choice(
                     len(pc), max_points, replace=False)]
@@ -108,7 +139,8 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                            "q_a": round(float(qa), 3),
                            "bpp": len(data) * 8 / len(pc),
                            "t_compress": t1 - t0, "t_decompress": t2 - t1,
-                           "num_points": len(pc)}
+                           "num_points": len(pc),
+                           "synthetic": int(synthetic)}
                     if with_metrics:
                         m = pc_metrics(pc, rec, spec["resolution"])
                         row.update({k: v for k, v in m.items()
@@ -134,6 +166,11 @@ if __name__ == "__main__":
     ap.add_argument("--sequences", nargs="*", default=None)
     ap.add_argument("--no_metrics", action="store_true")
     ap.add_argument("--max_points", type=int, default=None)
+    ap.add_argument("--data_root", default="./data/raw")
+    ap.add_argument("--require_real_data", action="store_true",
+                    help="fail instead of substituting synthetic frames")
     a = ap.parse_args()
     run_testset(a.experiments, a.q_steps, a.sequences,
-                with_metrics=not a.no_metrics, max_points=a.max_points)
+                with_metrics=not a.no_metrics, max_points=a.max_points,
+                data_root=a.data_root,
+                allow_synthetic=not a.require_real_data)

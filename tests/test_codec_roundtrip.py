@@ -196,3 +196,25 @@ def test_corrupt_streams_raise(codec):
         codec.decompress(b"definitely-not-a-bitstream")
     # intact stream still fine afterwards
     assert codec.decompress(data).shape[1] == 6
+
+
+def test_mixed_q_container_decodes_per_q(codec):
+    """Blocks with different per-block q in one container must decode
+    bit-identically to decoding them from their own containers (the gain
+    nets take q — grouping blocks across q would desync the rANS indexes)."""
+    from upcc_tpu.codec import bitstream
+    rng = np.random.default_rng(3)
+    xyz1, rgb1 = surface_cloud(rng, extent=64, n_target=700)
+    xyz2, rgb2 = surface_cloud(rng, extent=64, n_target=700)
+    xyz2 = xyz2 + np.array([[128, 0, 0]], np.int32)
+    pc1 = np.concatenate([xyz1.astype(np.float32), rgb1], axis=1)
+    pc2 = np.concatenate([xyz2.astype(np.float32), rgb2], axis=1)
+    d1 = codec.compress(pc1, q=(0.2, 0.2), block_size=128)
+    d2 = codec.compress(pc2, q=(0.9, 0.9), block_size=128)
+    b1, sf = bitstream.read_container(d1)
+    b2, _ = bitstream.read_container(d2)
+    merged = bitstream.write_container(None, b1 + b2, sf)
+    out = codec.decompress(merged)
+    want = np.concatenate([codec.decompress(d1), codec.decompress(d2)])
+    assert out.shape == want.shape
+    assert np.array_equal(np.sort(out, axis=0), np.sort(want, axis=0))

@@ -33,11 +33,11 @@ def test_run_testset_smoke(tmp_path, monkeypatch):
     monkeypatch.setattr(evaluate, "TEST_SET", {
         "mini": {"resolution": 63, "block_size": 64, "frame": 0}})
 
-    def tiny_frame(sequence, spec, data_root):
+    def tiny_frame(sequence, spec, data_root, allow_synthetic=True):
         from upcc_tpu.data.synthetic import surface_cloud
         xyz, rgb = surface_cloud(np.random.default_rng(0), extent=64,
                                  n_target=800)
-        return np.concatenate([xyz.astype(np.float32), rgb], 1)
+        return np.concatenate([xyz.astype(np.float32), rgb], 1), True
     monkeypatch.setattr(evaluate, "load_frame", tiny_frame)
 
     evaluate.run_testset(["tiny"], q_steps=2,

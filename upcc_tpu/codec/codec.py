@@ -330,9 +330,18 @@ class Codec:
         """Returns numpy [N, 6] (xyz int, rgb in [0,1] on the 8-bit grid)."""
         assert self.tables is not None, "call update() first"
         blocks, scaling_factor = bitstream.read_container(path_or_bytes)
+        # q is stored per block; a device group shares one q vector (it feeds
+        # the batched gain nets), so group only runs of equal q — mixed-q
+        # containers decode correctly instead of desyncing the rANS indexes.
+        runs = []
+        for b in blocks:
+            if not runs or runs[-1][-1]["q"] != b["q"]:
+                runs.append([])
+            runs[-1].append(b)
         outs = []
-        for i in range(0, len(blocks), MAX_GROUP):
-            outs.append(self._decompress_group(blocks[i:i + MAX_GROUP]))
+        for run in runs:
+            for i in range(0, len(run), MAX_GROUP):
+                outs.append(self._decompress_group(run[i:i + MAX_GROUP]))
         x = np.concatenate(outs, axis=0)
         if scaling_factor != 1.0:
             x[:, :3] = x[:, :3] * scaling_factor

@@ -2,13 +2,11 @@
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
 _here = os.path.dirname(__file__)
 _src = os.path.join(_here, "csrc", "octree.cpp")
-_lib_path = os.path.join(_here, "csrc", "liboctree.so")
 _lib = None
 
 
@@ -17,12 +15,8 @@ def _load():
     if _lib is not None:
         return _lib
     try:
-        if (not os.path.exists(_lib_path)
-                or os.path.getmtime(_lib_path) < os.path.getmtime(_src)):
-            subprocess.run(["g++", "-O3", "-march=native", "-funroll-loops",
-                            "-shared", "-fPIC", "-std=c++17",
-                            _src, "-o", _lib_path], check=True, capture_output=True)
-        lib = ctypes.CDLL(_lib_path)
+        from .build import load_native
+        lib = load_native(_src, "octree")
         i64p = ctypes.POINTER(ctypes.c_int64)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.octree_encode.restype = ctypes.c_int64

@@ -10,7 +10,6 @@ algorithm if the shared library cannot be built — same bitstreams.
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
@@ -19,14 +18,7 @@ _RANS_L = 1 << 23
 
 _here = os.path.dirname(__file__)
 _src = os.path.join(_here, "csrc", "rans.cpp")
-_lib_path = os.path.join(_here, "csrc", "librans.so")
 _lib = None
-
-
-def _build_lib():
-    cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
-           "-fPIC", "-std=c++17", _src, "-o", _lib_path]
-    subprocess.run(cmd, check=True, capture_output=True)
 
 
 def _load():
@@ -34,10 +26,8 @@ def _load():
     if _lib is not None:
         return _lib
     try:
-        if (not os.path.exists(_lib_path)
-                or os.path.getmtime(_lib_path) < os.path.getmtime(_src)):
-            _build_lib()
-        lib = ctypes.CDLL(_lib_path)
+        from .build import load_native
+        lib = load_native(_src, "rans")
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.upcc_rans_encode.restype = ctypes.c_int64

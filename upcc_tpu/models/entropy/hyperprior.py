@@ -189,7 +189,16 @@ class MeanScaleHyperprior(nn.Module):
         y_valid = y.valid
         scale, rescale = self.gains(q, y.batch, y_valid)
 
-        y_lik = gaussian.likelihood(y.feats * scale, scales_hat * scale,
+        # The rate term is evaluated at the *quantized* latent, as in
+        # CompressAI's GaussianConditional.forward (noise proxy in training,
+        # round-to-mean in eval) — evaluating it at the raw continuous latent
+        # would systematically underestimate the rate.
+        y_scaled = y.feats * scale
+        if training:
+            y_rate_in = gaussian.quantize_noise(y_scaled, self.make_rng("noise"))
+        else:
+            y_rate_in = jnp.round(y_scaled - means_hat * scale) + means_hat * scale
+        y_lik = gaussian.likelihood(y_rate_in, scales_hat * scale,
                                     means=means_hat * scale)
         y_lik = jnp.where(y_valid[:, None], y_lik, 1.0)
 
@@ -206,13 +215,10 @@ class MeanScaleHyperprior(nn.Module):
             y_hat_f = signs * (y_q_abs + offs)
             y_hat_f = y_hat_f * rescale + means_hat
         else:
-            if mode == "uniform":
-                y_hat_f = gaussian.quantize_noise(y.feats * scale, self.make_rng("noise"))
-            elif training:
-                y_hat_f = quantize_ste(y.feats * scale - means_hat * scale) + means_hat * scale
-            else:
-                y_hat_f = jnp.round(y.feats * scale - means_hat * scale) + means_hat * scale
-            y_hat_f = y_hat_f * rescale
+            # reference no-offset branch: y_hat is the gaussian_conditional
+            # forward output itself (noise-quantized in training, rounded to
+            # the mean grid in eval), rescaled.
+            y_hat_f = y_rate_in * rescale
 
         y_hat_f = y_hat_f * y_valid[:, None]
         y_hat = y.replace(feats=y_hat_f)

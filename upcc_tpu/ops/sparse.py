@@ -164,20 +164,14 @@ def _voxelize_native(batch, xyz, feats, capacity, stride):
     global _vox_lib
     import ctypes
     import os
-    import subprocess
 
     import numpy as np
     if _vox_lib is None:
         here = os.path.join(os.path.dirname(__file__), "..", "coding", "csrc")
         src = os.path.join(here, "voxelize.cpp")
-        lib_path = os.path.join(here, "libvoxelize.so")
         try:
-            if (not os.path.exists(lib_path)
-                    or os.path.getmtime(lib_path) < os.path.getmtime(src)):
-                subprocess.run(["g++", "-O3", "-march=native", "-shared",
-                                "-fPIC", "-std=c++17", src, "-o", lib_path],
-                               check=True, capture_output=True)
-            lib = ctypes.CDLL(lib_path)
+            from ..coding.build import load_native
+            lib = load_native(src, "voxelize")
             lib.voxelize.restype = ctypes.c_int64
             i32p = ctypes.POINTER(ctypes.c_int32)
             i64p = ctypes.POINTER(ctypes.c_int64)
