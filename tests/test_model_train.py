@@ -129,3 +129,24 @@ def test_gdn_formula():
     ip = igdn.init(jax.random.PRNGKey(0), f)
     iout = np.asarray(igdn.apply(ip, f))
     np.testing.assert_allclose(iout, fn * norm, rtol=1e-5, atol=1e-6)
+
+
+def test_host_root_maps_match_device_search(model_and_params):
+    """Training forward with host-precomputed root neighbor maps must be
+    bit-identical to the device-search path (same pyramid truncation)."""
+    from upcc_tpu.models.unified import host_root_maps
+    model, params, x, q, lam = model_and_params
+    rngs = {"noise": jax.random.PRNGKey(7)}
+    out_dev = model.apply({"params": params}, x, q, lam, training=True,
+                          rngs=rngs)
+    maps = host_root_maps(np.asarray(x.keys), CFG)
+    out_host = model.apply({"params": params}, x, q, lam, training=True,
+                           root_nbrs=maps, rngs=rngs)
+    for k in ("y", "z"):
+        a = np.asarray(out_dev["likelihoods"][k])
+        b = np.asarray(out_host["likelihoods"][k])
+        assert np.array_equal(a, b), f"likelihood {k} differs"
+    assert np.array_equal(np.asarray(out_dev["prediction"].keys),
+                          np.asarray(out_host["prediction"].keys))
+    assert np.array_equal(np.asarray(out_dev["prediction"].feats),
+                          np.asarray(out_host["prediction"].feats))

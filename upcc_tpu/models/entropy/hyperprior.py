@@ -171,8 +171,8 @@ class MeanScaleHyperprior(nn.Module):
 
     # ---- training forward --------------------------------------------------
 
-    def __call__(self, y: SparseTensor, q, training=True):
-        levels = self._pyramid(y.keys)
+    def __call__(self, y: SparseTensor, q, training=True, root_nbr=None):
+        levels = self._pyramid(y.keys, root_nbr=root_nbr)
         z = self.h_a(y, levels)
         z_valid = z.valid
         mode = self.quantization_mode if training else "round"

@@ -81,7 +81,11 @@ class FamilyTransposeUp(nn.Module):
                                     self.kernel_size)
         if self.use_bias:
             b = self.param("b", nn.initializers.zeros, (self.cout,), jnp.float32)
-            cvalid = jnp.repeat(valid, 8)
+            # output rows follow the nbr map's rows (a cross map in
+            # region-candidate mode), not necessarily the input rows;
+            # kernel-2 transposes (h_s) pass no nbr — rows are the input set
+            row_ok = valid if nbr_self is None else nbr_self[1].any(axis=1)
+            cvalid = jnp.repeat(row_ok, 8)
             out = (out + b) * cvalid[:, None].astype(out.dtype)
         return out
 

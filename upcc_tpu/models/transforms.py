@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from ..ops import coords as C
 from ..ops import family as F
-from ..ops.sparse import SparseTensor, compact, upsample_children_keys
+from ..ops.sparse import (SparseTensor, compact, dilate_keys,
+                          upsample_children_keys)
 from ..ops.topk import topk_mask
 from .gdn import GDN
 from .layers import FamilyConv, FamilyDownConv, FamilyTransposeUp, PointwiseConv
@@ -124,6 +125,15 @@ class SparseSynthesisTransform(nn.Module):
     N4: int = 128
     max_batch: int = 8
     prune_cap_factors: Sequence[float] = (2.0, 4.0, 8.0)
+    # Candidate-set semantics: False (default) = 8-child expansion of the
+    # pruned previous level (PCGCv2-style, the TPU-fast path); True = the
+    # reference's full kernel-5 region generation — every position reachable
+    # by the generative transpose, i.e. covered children of the 27-dilated
+    # parent set (/root/reference/model/transforms.py:129-137).  Region mode
+    # exists for the candidate-set ablation and costs extra device sorts +
+    # one binary search per level.
+    region_candidates: bool = False
+    region_dilate_factor: float = 3.0
 
     @nn.compact
     def __call__(self, y: SparseTensor, k, prune_caps=None, y_struct=None,
@@ -178,14 +188,35 @@ class SparseSynthesisTransform(nn.Module):
             if lvl >= num_levels:
                 break
             parent_keys = x.keys
-            child_keys = upsample_children_keys(parent_keys)
-            cf = F.child_family(parent_keys, nbr=nbr)
-            with jax.named_scope(f"gs_transpose_l{lvl}"):
-                cfeats = FamilyTransposeUp(cin, cout, 5, name=tname)(
-                    nbr, x.feats, x.valid)
-            cvalid = C.key_is_valid(child_keys)
-            cand = SparseTensor(keys=child_keys, feats=cfeats,
-                                stride=x.stride // 2)
+            if self.region_candidates:
+                # reference semantics: candidates = every child position the
+                # kernel-5 transpose reaches = covered children of the
+                # 27-dilated parent set
+                dcap = int(self.region_dilate_factor * parent_keys.shape[0])
+                d_keys = dilate_keys(parent_keys, dcap)
+                d_nbr = F.root_neighbors(d_keys)
+                cross = F.cross_neighbors(d_keys, parent_keys)
+                child_keys = upsample_children_keys(d_keys)
+                cf = F.child_family(d_keys, nbr=d_nbr)
+                with jax.named_scope(f"gs_transpose_l{lvl}"):
+                    cfeats = FamilyTransposeUp(cin, cout, 5, name=tname)(
+                        cross, x.feats, x.valid)
+                cover = (cross[1].astype(jnp.float32)
+                         @ jnp.asarray(F.transpose_cover_table(), jnp.float32))
+                cvalid = C.key_is_valid(child_keys) & (cover > 0).reshape(-1)
+                parent_nbr_next = d_nbr
+                n_parents = d_keys.shape[0]
+            else:
+                child_keys = upsample_children_keys(parent_keys)
+                cf = F.child_family(parent_keys, nbr=nbr)
+                with jax.named_scope(f"gs_transpose_l{lvl}"):
+                    cfeats = FamilyTransposeUp(cin, cout, 5, name=tname)(
+                        nbr, x.feats, x.valid)
+                cvalid = C.key_is_valid(child_keys)
+                parent_nbr_next = nbr
+                n_parents = parent_keys.shape[0]
+            cand = SparseTensor(keys=jnp.where(cvalid, child_keys, C.SENTINEL),
+                                feats=cfeats, stride=x.stride // 2)
             with jax.named_scope(f"gs_head_l{lvl}"):
                 logits = OccupancyHead(pcin, pchid, name=pname)(cf, cfeats, cvalid)
             cands.append(cand)
@@ -199,11 +230,12 @@ class SparseSynthesisTransform(nn.Module):
                 pk, pf = pk[:caps[lvl]], pf[:caps[lvl]]
                 ppar, pslot = ppar[:caps[lvl]], pslot[:caps[lvl]]
                 pvalid = C.key_is_valid(pk)
-                ppar = jnp.where(pvalid, ppar, parent_keys.shape[0])
+                ppar = jnp.where(pvalid, ppar, n_parents)
             x = SparseTensor(keys=pk, feats=pf, stride=x.stride // 2)
             if lvl < 2:
                 with jax.named_scope(f"gs_derive_l{lvl}"):
-                    nbr = F.derive_self_neighbors(pk, ppar, pslot, nbr)
+                    nbr = F.derive_self_neighbors(pk, ppar, pslot,
+                                                  parent_nbr_next)
                 x = x.replace(feats=GDN(cout, inverse=True,
                                         name=f"igdn{lvl + 2}")(x.feats))
 

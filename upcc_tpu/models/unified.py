@@ -17,6 +17,36 @@ from .entropy.hyperprior import MeanScaleHyperprior
 from .transforms import AnalysisTransform, SparseSynthesisTransform
 
 
+def host_root_maps(keys_np, config):
+    """Host-computed root 27-neighborhood maps for the *training* forward.
+
+    The cap arithmetic must mirror AnalysisTransform's pyramid (floor'd
+    fractional caps) and MeanScaleHyperprior._pyramid exactly — truncation
+    happens at every level, so the host downsample chain passes the same
+    per-level capacities (see ops/family.host_root_neighbors).  The codec
+    computes its own maps because it re-buckets y between stages.
+    """
+    import numpy as np
+
+    from ..ops import family as F
+    from .entropy.hyperprior import MeanScaleHyperprior
+
+    cap = len(keys_np)
+    ga_factors = config["g_a"].get("cap_factors", (0.5, 0.25, 0.125))
+    floor = min(cap, 8192)
+    ga_caps = [max(int(f * cap), floor) for f in ga_factors]
+    _, gi, go = F.host_root_neighbors(np.asarray(keys_np), 4, ga_caps[2],
+                                      ga_caps + [ga_caps[2]])
+    zf = config["entropy_model"].get("cap_factors",
+                                     MeanScaleHyperprior.cap_factors)
+    ycap = ga_caps[2]
+    zcaps = [int(zf[0] * ycap), int(zf[1] * ycap)]
+    _, zi, zo = F.host_root_neighbors(np.asarray(keys_np), 5, zcaps[1],
+                                      ga_caps + zcaps)
+    return {"ga": (jnp.asarray(gi), jnp.asarray(go)),
+            "z": (jnp.asarray(zi), jnp.asarray(zo))}
+
+
 def occupancy_color_features(x: SparseTensor):
     """[1, R, G, B] features: constant occupancy + colors
     (reference model.py:66-67)."""
@@ -39,8 +69,14 @@ class UnifiedModel(nn.Module):
         self.g_s = SparseSynthesisTransform(max_batch=mb, **gs)
         self.entropy_model = MeanScaleHyperprior(max_batch=mb, **em)
 
-    def __call__(self, x: SparseTensor, q, Lambda, training=True):
+    def __call__(self, x: SparseTensor, q, Lambda, training=True,
+                 root_nbrs=None):
         """x: input cloud (stride 1, colors in [0,1] as feats). q: [B,2].
+
+        root_nbrs: optional host-precomputed root 27-neighborhood maps
+        {'ga': (idx, ok), 'z': (idx, ok)} (ops/family.host_root_neighbors) —
+        the per-query binary search they replace is the slowest device op in
+        the training forward (the codec path already works this way).
 
         Returns the dict the loss consumes (reference model.py:82-88):
           prediction: reconstructed SparseTensor (colors at stride 1)
@@ -49,9 +85,11 @@ class UnifiedModel(nn.Module):
           q_map: Lambda [B, 2]
           likelihoods: {'y': [Ny,C], 'z': [Nz,Ch]}
         """
+        root_nbrs = root_nbrs or {}
         xin = occupancy_color_features(x)
-        y, k = self.g_a(xin)
-        y_hat, (lik_y, lik_z) = self.entropy_model(y, q, training=training)
+        y, k = self.g_a(xin, root_nbr=root_nbrs.get("ga"))
+        y_hat, (lik_y, lik_z) = self.entropy_model(
+            y, q, training=training, root_nbr=root_nbrs.get("z"))
         x_hat, candidates, occ_logits = self.g_s(y_hat, k)
 
         # GT pyramid: stride-2 key downsamples of the input (the reference

@@ -276,6 +276,22 @@ def host_root_neighbors(keys_np, levels_down, cap, level_caps=None):
     return keys, idx, found
 
 
+def transpose_cover_table():
+    """Static bool [27, 8]: whether child slot s of an output parent at
+    offset eps from an input parent receives any kernel-5 transpose tap
+    (|slot - 2*eps| <= 2 per axis).  Used by region-candidate mode to mark
+    which children of the dilated set are reachable by the generative
+    transpose (the reference's ME region semantics,
+    /root/reference/model/transforms.py:129-137)."""
+    tab = np.zeros((27, 8), bool)
+    for ei, e in enumerate(_EPS_OFFSETS):
+        for s in range(8):
+            sv = np.array([(s >> 2) & 1, (s >> 1) & 1, s & 1])
+            if np.all(np.abs(sv - 2 * e) <= 2):
+                tab[ei, s] = True
+    return tab
+
+
 def cross_neighbors(out_parent_keys, in_parent_keys):
     """27-neighborhood map from output parents into a *different* input
     parent set (e.g. h_s's final conv evaluated at the y coordinates)."""
@@ -454,6 +470,9 @@ def family_transpose_up(fm_parent_nbr, in_feats, in_valid, weights,
                          preferred_element_type=jnp.float32)
         return out.reshape(8 * n, cout)
     assert kernel_size == 5
+    # nbr may be a *cross* map (rows = an output parent set different from
+    # the input set, e.g. the dilated set in region-candidate mode); output
+    # children align with upsample_children_keys(rows' keys).
     nbr_idx, nbr_ok = fm_parent_nbr
     # delta = slot - 2*eps per axis; valid when |delta| <= 2 (always for
     # slot in {0,1}, eps in {-1,0,1} except slot=1, eps=-1 -> delta=3)
@@ -471,14 +490,15 @@ def family_transpose_up(fm_parent_nbr, in_feats, in_valid, weights,
     wt = wt.astype(compute_dtype)
 
     def step(acc, inp):
-        ni, ok, wk = inp  # ni [N], wk [8, Cin, Cout]
+        ni, ok, wk = inp  # ni [N_out], wk [8, Cin, Cout]
         nb = x[jnp.minimum(ni, n - 1)] * ok[:, None].astype(compute_dtype)
         return acc + jnp.einsum("nc,scd->nsd", nb, wk,
                                 preferred_element_type=jnp.float32), None
 
-    acc0 = jnp.zeros((n, 8, cout), jnp.float32)
+    n_out = nbr_idx.shape[0]
+    acc0 = jnp.zeros((n_out, 8, cout), jnp.float32)
     acc, _ = jax.lax.scan(step, acc0, (nbr_idx.T, nbr_ok.T, wt), unroll=9)
-    return acc.reshape(8 * n, cout)
+    return acc.reshape(8 * n_out, cout)
 
 
 def family_down_conv(fm_in: FamilyMap, in_feats, in_valid, weights,

@@ -276,6 +276,24 @@ def expand_region_keys(keys, region_offsets, capacity):
     return cand[:capacity]
 
 
+def dilate_keys(keys, capacity):
+    """27-neighborhood dilation of a sorted key set: dedup({u + e, |e| <= 1}).
+
+    Sort-based dedup — parity/ablation path (region-candidate g_s mode), not
+    the perf-optimized codec path where device sorts are banned.  Output
+    sorted, sentinel-padded, clipped to ``capacity``."""
+    outs = []
+    for d in C.kernel_offsets(3):
+        nk, _ = C.shift_units(keys, tuple(int(v) for v in d))
+        outs.append(nk)
+    cand = jnp.stack(outs, axis=1).reshape(-1)
+    cand = jnp.sort(cand)
+    dup = jnp.concatenate([jnp.array([False]), cand[1:] == cand[:-1]])
+    cand = jnp.where(dup & C.key_is_valid(cand), C.SENTINEL, cand)
+    cand = jnp.sort(cand)
+    return cand[:capacity]
+
+
 def with_feats(st: SparseTensor, feats, stride=None):
     return SparseTensor(keys=st.keys, feats=feats, stride=stride or st.stride)
 

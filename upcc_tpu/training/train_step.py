@@ -44,18 +44,19 @@ def make_train_step(model, loss_obj, optimizer, aux_weight=1.0):
     """Returns a jittable step fn:
     (state, x: SparseTensor, q, Lambda, rng) -> (state, metrics)."""
 
-    def loss_fn(params, x, q, Lambda, rng):
+    def loss_fn(params, x, q, Lambda, rng, root_nbrs):
         out = model.apply({"params": params}, x, q, Lambda, training=True,
-                          rngs={"noise": rng})
+                          root_nbrs=root_nbrs, rngs={"noise": rng})
         main, parts = loss_obj(x, out)
         aux = model.apply({"params": params}, method=model.aux_loss)
         parts = dict(parts)
         parts["aux_loss"] = aux
         return main + aux_weight * aux, parts
 
-    def step(state: TrainState, x: SparseTensor, q, Lambda, rng):
+    def step(state: TrainState, x: SparseTensor, q, Lambda, rng,
+             root_nbrs=None):
         (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x, q, Lambda, rng)
+            state.params, x, q, Lambda, rng, root_nbrs)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": total, **parts}

@@ -28,8 +28,8 @@ import yaml
 from ..data.dataset import StaticDataset, collate_cubes
 from ..data.q_func import QFunc
 from ..data.transform import build_transforms
-from ..models.unified import UnifiedModel
-from ..ops.sparse import from_points_host
+from ..models.unified import UnifiedModel, host_root_maps
+from ..ops.sparse import SparseTensor, from_points_host, voxelize_host_np
 from .loss import Loss
 from .train_step import TrainState, make_optimizer, make_train_step
 
@@ -183,10 +183,17 @@ class Training:
         for step, (b, x, c) in enumerate(self._batches(rng)):
             if self.max_steps_per_epoch and step >= self.max_steps_per_epoch:
                 break
-            st = from_points_host(b, x, c, capacity=self.capacity)
+            # voxelize once on the host and reuse the keys for the root
+            # neighbor maps (a device binary search at these caps costs more
+            # than the whole rest of the forward — TPU_NOTES.md)
+            keys_np, feats_np = voxelize_host_np(b, x, c, self.capacity)
+            st = SparseTensor(keys=jnp.asarray(keys_np),
+                              feats=jnp.asarray(feats_np), stride=1)
+            root_nbrs = host_root_maps(keys_np, self.config["model"])
             key, kq, kn = jax.random.split(key, 3)
             q, lam = self.q_func.sample(kq, self.batch_size)
-            self.state, metrics = self.step_fn(self.state, st, q, lam, kn)
+            self.state, metrics = self.step_fn(self.state, st, q, lam, kn,
+                                               root_nbrs)
             losses.append(float(metrics["loss"]))
         return {"loss": float(np.mean(losses)) if losses else float("nan"),
                 "time": time.time() - t0}
