@@ -169,10 +169,21 @@ class Training:
     # ---- loops ---------------------------------------------------------
 
     def _batches(self, rng):
+        """Greedy capacity packing: walk the shuffled order, taking up to
+        batch_size cubes while they fit in the static point capacity, so no
+        points are dropped (the reference's torch loader handles variable
+        sizes natively; with static shapes the capacity is the budget)."""
         ds = self.train_ds
+        sizes = np.diff(ds.offsets)[ds.indices]
         order = rng.permutation(len(ds))
-        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
-            items = [ds[j] for j in order[i:i + self.batch_size]]
+        i = 0
+        while i < len(order):
+            items, total = [], 0
+            while (i < len(order) and len(items) < self.batch_size
+                   and (not items or total + sizes[order[i]] <= self.capacity)):
+                items.append(ds[order[i]])
+                total += sizes[order[i]]
+                i += 1
             yield collate_cubes(items, self.capacity, rng)
 
     def train_epoch(self, epoch):
