@@ -70,16 +70,19 @@ def load_frame(sequence, spec, data_root="./data/raw", allow_synthetic=True):
           f"({frame_filename(sequence, spec)}) under {data_root} — "
           "substituting a SYNTHETIC frame; CSV rows are tagged synthetic=1",
           flush=True)
-    from upcc_tpu.data.synthetic import surface_cloud
+    from upcc_tpu.data.synthetic import scan_like_cloud
     n = 760_000 if spec["resolution"] <= 1023 else 1_200_000
-    rng = np.random.default_rng(abs(hash(sequence)) % (2 ** 31))
-    xyz, rgb = surface_cloud(rng, extent=spec["resolution"] + 1, n_target=n)
+    seed = int(np.frombuffer(sequence.encode().ljust(8, b"\0")[:8],
+                             np.uint32)[0]) % (2 ** 31)
+    rng = np.random.default_rng(seed)
+    xyz, rgb = scan_like_cloud(rng, extent=spec["resolution"] + 1, n_target=n)
     return np.concatenate([xyz.astype(np.float32), rgb], axis=1), True
 
 
 def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                 data_root="./data/raw", results_path="./results",
-                max_points=None, allow_synthetic=True):
+                max_points=None, allow_synthetic=True, with_pcqm=True,
+                pcqm_max_points=200_000, with_renders=True):
     import jax
     import jax.numpy as jnp
     import flax.serialization as ser
@@ -145,6 +148,21 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                         m = pc_metrics(pc, rec, spec["resolution"])
                         row.update({k: v for k, v in m.items()
                                     if k.startswith("sym_")})
+                        if with_pcqm:
+                            # native PCQM (reference evaluate.py:156-171 runs
+                            # the PCQM binary; upcc_tpu/eval/pcqm.py is the
+                            # from-the-paper reimplementation)
+                            from upcc_tpu.eval.pcqm import pcqm
+                            row["pcqm"] = pcqm(pc, rec,
+                                               max_points=pcqm_max_points)
+                    if with_renders and float(qg) == float(qa) \
+                            and float(qg) in (qs[0], qs[-1]):
+                        # qualitative renders at the corner qualities
+                        # (reference evaluate.py:135-154 renders per run)
+                        from upcc_tpu.eval.render import render_pointcloud
+                        render_pointcloud(rec, path_prefix=os.path.join(
+                            exp_dir, "renders",
+                            f"{seq}_q{float(qg):.2f}_{float(qa):.2f}"))
                     rows.append(row)
                     print(f"[{exp}] {seq} q=({qg:.1f},{qa:.1f}) "
                           f"bpp={row['bpp']:.3f} enc={row['t_compress']:.2f}s "
@@ -169,8 +187,13 @@ if __name__ == "__main__":
     ap.add_argument("--data_root", default="./data/raw")
     ap.add_argument("--require_real_data", action="store_true",
                     help="fail instead of substituting synthetic frames")
+    ap.add_argument("--no_pcqm", action="store_true")
+    ap.add_argument("--no_renders", action="store_true")
+    ap.add_argument("--pcqm_max_points", type=int, default=200_000)
     a = ap.parse_args()
     run_testset(a.experiments, a.q_steps, a.sequences,
                 with_metrics=not a.no_metrics, max_points=a.max_points,
                 data_root=a.data_root,
-                allow_synthetic=not a.require_real_data)
+                allow_synthetic=not a.require_real_data,
+                with_pcqm=not a.no_pcqm, pcqm_max_points=a.pcqm_max_points,
+                with_renders=not a.no_renders)

@@ -1,0 +1,96 @@
+"""Native PCQM metric tests (upcc_tpu/eval/pcqm.py).
+
+Behavior contract from the PCQM paper / binary (reference
+utils.py:270-322): 0 for identical clouds, monotonically increasing with
+geometry and color distortion, color-dominant, invariant to global scale.
+"""
+
+import numpy as np
+import pytest
+
+from upcc_tpu.data.synthetic import scan_like_cloud
+from upcc_tpu.eval.pcqm import (DEFAULT_WEIGHTS, FEATURE_NAMES,
+                                mean_curvature, pcqm, pcqm_features,
+                                srgb_to_lab)
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.default_rng(7)
+    xyz, rgb = scan_like_cloud(rng, extent=256, n_target=20_000)
+    return np.concatenate([xyz.astype(np.float64), rgb], axis=1)
+
+
+def test_lab_white_black_red():
+    lab = srgb_to_lab(np.array([[1.0, 1.0, 1.0], [0, 0, 0], [1.0, 0, 0]]))
+    assert np.allclose(lab[0], [100.0, 0.0, 0.0], atol=0.02)
+    assert np.allclose(lab[1], [0.0, 0.0, 0.0], atol=1e-6)
+    # sRGB red: L*~53.2, a*~80.1, b*~67.2
+    assert abs(lab[2, 0] - 53.2) < 0.5
+    assert abs(lab[2, 1] - 80.1) < 0.5
+    assert abs(lab[2, 2] - 67.2) < 0.5
+
+
+def test_curvature_plane_vs_sphere():
+    rng = np.random.default_rng(0)
+    # plane z=0: curvature ~ 0
+    plane = np.concatenate([rng.uniform(0, 1, (2000, 2)),
+                            np.zeros((2000, 1))], axis=1)
+    assert mean_curvature(plane).mean() < 1e-6
+    # unit sphere: |H| = 1
+    v = rng.normal(size=(4000, 3))
+    sphere = v / np.linalg.norm(v, axis=1, keepdims=True)
+    h = mean_curvature(sphere, k=20)
+    assert abs(np.median(h) - 1.0) < 0.15
+
+
+def test_identical_is_zero(cloud):
+    assert pcqm(cloud, cloud) < 1e-9
+    feats = pcqm_features(cloud, cloud)
+    for name in FEATURE_NAMES:
+        assert feats[name] < 1e-9, name
+
+
+def test_monotone_in_color_noise(cloud):
+    rng = np.random.default_rng(1)
+    vals = []
+    for s in [0.0, 0.03, 0.08, 0.2]:
+        d = cloud.copy()
+        d[:, 3:6] = np.clip(d[:, 3:6] + rng.normal(0, s, (len(d), 3)), 0, 1)
+        vals.append(pcqm(cloud, d))
+    assert all(b > a for a, b in zip(vals, vals[1:])), vals
+
+
+def test_monotone_in_geometry_noise(cloud):
+    rng = np.random.default_rng(2)
+    vals = []
+    for s in [0.0, 1.0, 4.0]:
+        d = cloud.copy()
+        d[:, :3] = d[:, :3] + rng.normal(0, s, (len(d), 3))
+        vals.append(pcqm(cloud, d))
+    assert all(b > a for a, b in zip(vals, vals[1:])), vals
+
+
+def test_scale_invariance(cloud):
+    rng = np.random.default_rng(3)
+    d = cloud.copy()
+    d[:, 3:6] = np.clip(d[:, 3:6] + rng.normal(0, 0.05, (len(d), 3)), 0, 1)
+    v1 = pcqm(cloud, d)
+    big, bigd = cloud.copy(), d.copy()
+    big[:, :3] *= 4.0
+    bigd[:, :3] *= 4.0
+    v2 = pcqm(big, bigd)
+    assert abs(v1 - v2) < 1e-6
+
+
+def test_weights_are_a_convex_combination():
+    w = np.asarray(DEFAULT_WEIGHTS)
+    assert w.shape == (len(FEATURE_NAMES),)
+    assert (w >= 0).all() and abs(w.sum() - 1.0) < 1e-3
+
+
+def test_anchor_wrapper_uses_native(cloud):
+    from upcc_tpu.eval.anchors import pcqm as pcqm_anchor
+    val, source = pcqm_anchor(cloud[:3000], cloud[:3000])
+    assert source == "native"
+    assert val < 1e-9

@@ -58,10 +58,11 @@ def compress_gpcc(points6, q_a=34, q_g=0.75, tmp_dir=None):
 
 
 def pcqm(reference6, reconstruction6, tmp_dir=None):
-    """PCQM perceptual metric.  Uses the PCQM binary when available
-    (reference utils.py:270-322); otherwise returns a proxy:
-    1 - (0.5*geom + 0.5*color) quality mapped from our native metrics,
-    flagged by the second return value."""
+    """PCQM perceptual metric.  Runs the upstream PCQM binary when one is
+    installed (reference utils.py:270-322, for cross-validation); otherwise
+    computes the native from-the-paper reimplementation
+    (upcc_tpu/eval/pcqm.py).  Returns (value, source) with source in
+    {"binary", "native"}."""
     if os.path.exists(PCQM_BIN):
         import re
         tmp = tmp_dir or tempfile.mkdtemp(prefix="pcqm_")
@@ -73,15 +74,9 @@ def pcqm(reference6, reconstruction6, tmp_dir=None):
                                "-rx 2.0"], capture_output=True, text=True)
         m = re.search(r"PCQM\s*:?\s*([0-9.eE+-]+)", proc.stdout)
         if m:
-            return float(m.group(1)), True
-    from .metrics import pc_metrics
-    res = float(np.max(reference6[:, :3]))
-    m = pc_metrics(reference6, reconstruction6, resolution=max(res, 1.0),
-                   with_d2=False)
-    geom_q = min(m["sym_psnr_mse"] / 80.0, 1.0)
-    col_q = min(m["sym_y_psnr"] / 50.0, 1.0)
-    proxy = 1.0 - (0.5 * geom_q + 0.5 * col_q)
-    return proxy, False
+            return float(m.group(1)), "binary"
+    from .pcqm import pcqm as pcqm_native
+    return pcqm_native(reference6, reconstruction6), "native"
 
 
 def compress_vpcc(points6, rate_preset=1, tmp_dir=None):
