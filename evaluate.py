@@ -79,6 +79,66 @@ def load_frame(sequence, spec, data_root="./data/raw", allow_synthetic=True):
     return np.concatenate([xyz.astype(np.float32), rgb], axis=1), True
 
 
+# Anchor codecs evaluated over the reference's anchor grids instead of the
+# learned (q_g, q_a) unit grid (reference evaluate.py:60-95: G-PCC uses
+# qp x positionQuantizationScale).  "gpcc_native" is the native octree+RAHT
+# reimplementation (upcc_tpu/codec/raht.py) since tmc3 cannot be built here.
+ANCHOR_GRIDS = {
+    "gpcc_native": {"q_as": [51, 46, 40, 34, 28, 22],
+                    "q_gs": [0.0625, 0.125, 0.25, 0.5, 0.75, 0.875, 0.9375]},
+}
+
+
+def run_anchor_testset(exp, sequences=None, with_metrics=True,
+                       data_root="./data/raw", results_path="./results",
+                       max_points=None, allow_synthetic=True, with_pcqm=True,
+                       pcqm_max_points=200_000):
+    from upcc_tpu.codec import raht
+    from upcc_tpu.eval.metrics import pc_metrics
+    grid = ANCHOR_GRIDS[exp]
+    exp_dir = os.path.join(results_path, exp)
+    os.makedirs(exp_dir, exist_ok=True)
+    rows = []
+    for seq, spec in TEST_SET.items():
+        if sequences and seq not in sequences:
+            continue
+        pc, synthetic = load_frame(seq, spec, data_root,
+                                   allow_synthetic=allow_synthetic)
+        if max_points and len(pc) > max_points:
+            pc = pc[np.random.default_rng(0).choice(
+                len(pc), max_points, replace=False)]
+        for qg in grid["q_gs"]:
+            for qa in grid["q_as"]:
+                t0 = time.time()
+                data = raht.compress(pc, q_g=qg, qp=qa)
+                t1 = time.time()
+                rec = raht.decompress(data)
+                t2 = time.time()
+                row = {"sequence": seq, "frameIdx": spec["frame"],
+                       "q_g": qg, "q_a": qa,
+                       "bpp": len(data) * 8 / len(pc),
+                       "t_compress": t1 - t0, "t_decompress": t2 - t1,
+                       "num_points": len(pc), "synthetic": int(synthetic)}
+                if with_metrics:
+                    m = pc_metrics(pc, rec, spec["resolution"])
+                    row.update({k: v for k, v in m.items()
+                                if k.startswith("sym_")})
+                    if with_pcqm:
+                        from upcc_tpu.eval.pcqm import pcqm
+                        row["pcqm"] = pcqm(pc, rec,
+                                           max_points=pcqm_max_points)
+                rows.append(row)
+                print(f"[{exp}] {seq} qp={qa} scale={qg} "
+                      f"bpp={row['bpp']:.3f}", flush=True)
+    if rows:
+        path = os.path.join(exp_dir, "test.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"[{exp}] wrote {path} ({len(rows)} rows)")
+
+
 def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                 data_root="./data/raw", results_path="./results",
                 max_points=None, allow_synthetic=True, with_pcqm=True,
@@ -94,6 +154,11 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
 
     qs = np.linspace(0, 1, q_steps)
     for exp in experiments:
+        if exp in ANCHOR_GRIDS:
+            run_anchor_testset(exp, sequences, with_metrics, data_root,
+                               results_path, max_points, allow_synthetic,
+                               with_pcqm, pcqm_max_points)
+            continue
         exp_dir = os.path.join(results_path, exp)
         with open(os.path.join(exp_dir, "config.yaml")) as f:
             cfg = yaml.safe_load(f)

@@ -1,9 +1,12 @@
 """Reporting: RD curves, (q_g, q_a) contour maps, BD-delta tables, timing.
 
 API-surface parity with /root/reference/plot.py and /root/reference/plot/:
-loads per-experiment results/<exp>/test.csv, renders RD figures at each
-method's BD evaluation points, writes BD-rate/BD-PSNR delta CSVs against an
-anchor, and summarizes compress/decompress timing with 95% CIs.
+loads per-experiment results/<exp>/test.csv (flipping pcqm to 1-PCQM and
+appending per-dataset averaged pseudo-sequence rows, plot.py:459-486),
+extracts PCQM-Pareto fronts (plot.py:438-457), renders RD figures at each
+method's per-dataset BD evaluation points (plot/style.py:45-152), writes
+BD-rate/BD-PSNR delta CSVs against an anchor, and summarizes
+compress/decompress timing with 95% CIs (plot.py:489-546).
 """
 
 import argparse
@@ -14,28 +17,118 @@ import pandas as pd
 
 from upcc_tpu.eval.bjontegaard import BjontegaardModel, bd_psnr, bd_rate
 
-# per-method BD evaluation points (reference plot/style.py:45-152)
+# test-set -> sequence registry (reference plot/style.py `datasets`)
+DATASETS = {
+    "8iVFBv2": ["loot", "longdress", "soldier", "redandblack"],
+    "Owlii": ["basketball_player", "dancer", "exercise", "model"],
+}
+
+_OURS_BD = {"8iVFBv2": [(0.1, 0.1), (0.2, 0.2), (0.4, 0.4), (1.0, 1.0)],
+            "Owlii": [(0.1, 0.1), (0.2, 0.2), (0.4, 0.4), (1.0, 1.0)]}
+
+# per-method styles + BD evaluation points (reference plot/style.py:45-152)
 RUNS = {
     "CVPR_inverse_scaling": {
-        "label": "Ours", "color": "tab:blue",
-        "bd_points": [(0.1, 0.1), (0.2, 0.2), (0.4, 0.4), (1.0, 1.0)],
+        "label": "Ours", "color": "tab:blue", "marker": "o",
+        "linestyle": "-", "bd_points": _OURS_BD,
     },
     "CVPR_inverse_nn": {
         "label": "Ours (learned rescale)", "color": "tab:orange",
-        "bd_points": [(0.1, 0.1), (0.2, 0.2), (0.4, 0.4), (1.0, 1.0)],
+        "marker": "s", "linestyle": "--", "bd_points": _OURS_BD,
+    },
+    "CVPR_inverse_scaling_shepard": {
+        "label": "Ours (MSE+IWD)", "color": "tab:purple", "marker": "v",
+        "linestyle": "-.", "bd_points": _OURS_BD,
+    },
+    "CVPR_inverse_scaling_256": {
+        "label": "Ours (256)", "color": "tab:cyan", "marker": "^",
+        "linestyle": ":", "bd_points": _OURS_BD,
+    },
+    # the four fixed-rate models plot as one curve per config
+    **{f"CVPR_inverse_scaling_fixed_R{i}": {
+        "label": f"Fixed R{i}", "color": "tab:gray", "marker": "x",
+        "linestyle": ":", "bd_points": {"8iVFBv2": [(1.0, 1.0)],
+                                        "Owlii": [(1.0, 1.0)]}}
+       for i in range(1, 5)},
+    # anchors (reference style.py:49-60; grids from evaluate.py:91-95).
+    # gpcc_native is the native octree+RAHT anchor (upcc_tpu/codec/raht.py).
+    "gpcc_native": {
+        "label": "G-PCC (native octree+RAHT)", "color": "tab:green",
+        "marker": "D", "linestyle": "--",
+        "bd_points": {"8iVFBv2": [(0.5, 40), (0.75, 34), (0.875, 28),
+                                  (0.9375, 22)],
+                      "Owlii": [(0.25, 40), (0.5, 34), (0.75, 28),
+                                (0.875, 22)]},
+    },
+    "IT-DL-PCC": {
+        "label": "IT-DL-PCC", "color": "tab:red", "marker": "P",
+        "linestyle": ":",
+        "bd_points": {"8iVFBv2": [(0.001, 0.0), (0.002, 0.0), (0.004, 0.0),
+                                  (0.0005, 0.0)],
+                      "Owlii": [(0.001, 0.0), (0.002, 0.0), (0.004, 0.0),
+                                (0.0005, 0.0)]},
     },
 }
 
-METRICS = [("sym_y_psnr", "Y-PSNR [dB]"), ("sym_psnr_mse", "D1 PSNR [dB]")]
+# metric -> axis label (reference plot/style.py metric_labels; pcqm is
+# plotted as 1-PCQM after the load_csvs flip)
+METRICS = [("sym_y_psnr", "Y-PSNR [dB]"), ("sym_psnr_mse", "D1-PSNR [dB]"),
+           ("sym_yuv_psnr", "YUV-PSNR [dB]"), ("pcqm", r"$1-$PCQM")]
+
+
+def dataset_of(sequence):
+    for ds, seqs in DATASETS.items():
+        if sequence in seqs or sequence == ds:
+            return ds
+    return "8iVFBv2"
+
+
+def bd_points_for(exp, sequence):
+    pts = RUNS.get(exp, {}).get("bd_points", _OURS_BD)
+    if isinstance(pts, dict):
+        return pts.get(dataset_of(sequence), next(iter(pts.values())))
+    return pts
 
 
 def load_csvs(experiments, results_path="./results"):
+    """Load test.csvs; flip pcqm to 1-PCQM and append per-dataset averaged
+    pseudo-sequence rows (reference plot.py:459-486)."""
     frames = {}
     for exp in experiments:
         path = os.path.join(results_path, exp, "test.csv")
-        if os.path.exists(path):
-            frames[exp] = pd.read_csv(path)
+        if not os.path.exists(path):
+            continue
+        df = pd.read_csv(path)
+        if "pcqm" in df:
+            df["pcqm"] = 1.0 - df["pcqm"]
+        averaged = []
+        for testset, seqs in DATASETS.items():
+            sub = df[df["sequence"].isin(seqs)]
+            if sub.empty:
+                continue
+            grouped = sub.groupby(["q_a", "q_g"]).mean(
+                numeric_only=True).reset_index()
+            grouped["sequence"] = testset
+            averaged.append(grouped)
+        frames[exp] = pd.concat([df] + averaged, ignore_index=True) \
+            if averaged else df
     return frames
+
+
+def get_pareto_df(df, metric="pcqm"):
+    """Per-sequence Pareto front: walk rows by increasing bpp, keep rows
+    that improve the metric (reference plot.py:438-457)."""
+    parts = []
+    for sequence in df["sequence"].unique():
+        sub = df[df["sequence"] == sequence].sort_values(by=["bpp"])
+        best = -np.inf
+        keep = []
+        for index, row in sub.iterrows():
+            if row[metric] >= best:
+                best = row[metric]
+                keep.append(index)
+        parts.append(sub.loc[keep])
+    return pd.concat(parts, ignore_index=True)
 
 
 def bd_curve(df, bd_points):
@@ -49,32 +142,49 @@ def bd_curve(df, bd_points):
     return pd.DataFrame(rows)
 
 
-def plot_rd(frames, out_dir, sequence=None):
+def _style(exp):
+    return RUNS.get(exp, {"label": exp, "color": None, "marker": "o",
+                          "linestyle": "-"})
+
+
+def plot_rd(frames, out_dir, sequence=None, pareto=False):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     os.makedirs(out_dir, exist_ok=True)
     for mkey, mlabel in METRICS:
         fig, ax = plt.subplots(figsize=(5, 4))
+        drawn = False
         for exp, df in frames.items():
             if sequence:
                 df = df[df.sequence == sequence]
-            if mkey not in df or df.empty:
+            if mkey not in df or df.empty or df[mkey].isna().all():
                 continue
-            style = RUNS.get(exp, {"label": exp, "color": None,
-                                   "bd_points": [(0.2, 0.2), (1, 1)]})
-            cur = bd_curve(df, style["bd_points"]).sort_values("bpp")
+            style = _style(exp)
+            if pareto and "pcqm" in df:
+                cur = get_pareto_df(df, metric=mkey).groupby(
+                    "bpp")[mkey].mean().reset_index()
+            else:
+                cur = bd_curve(df, bd_points_for(exp, sequence or "loot")) \
+                    .sort_values("bpp")
             if len(cur) >= 2:
                 model = BjontegaardModel(cur.bpp, cur[mkey])
                 xs = np.linspace(cur.bpp.min(), cur.bpp.max(), 50)
                 ax.plot(xs, model.quality_at(xs), color=style["color"],
+                        linestyle=style.get("linestyle", "-"),
                         label=style["label"])
-            ax.plot(cur.bpp, cur[mkey], "o", color=style["color"])
+            ax.plot(cur.bpp, cur[mkey], style.get("marker", "o"),
+                    color=style["color"])
+            drawn = True
+        if not drawn:
+            plt.close(fig)
+            continue
         ax.set_xlabel("bpp")
         ax.set_ylabel(mlabel)
         ax.grid(alpha=0.3)
         ax.legend()
-        name = f"rd_{mkey}{'_' + sequence if sequence else ''}.png"
+        name = f"rd_{mkey}{'_' + sequence if sequence else ''}" \
+               f"{'_pareto' if pareto else ''}.png"
         fig.savefig(os.path.join(out_dir, name), dpi=150,
                     bbox_inches="tight")
         plt.close(fig)
@@ -111,18 +221,19 @@ def compute_bd_deltas(frames, anchor, out_dir):
         return None
     rows = []
     a_df = frames[anchor]
-    a_pts = RUNS.get(anchor, {}).get("bd_points", [(0.2, 0.2), (1, 1)])
     for exp, df in frames.items():
         if exp == anchor:
             continue
-        pts = RUNS.get(exp, {}).get("bd_points", a_pts)
         for mkey, _ in METRICS:
             if mkey not in df or mkey not in a_df:
                 continue
             for seq in sorted(set(df.sequence) & set(a_df.sequence)):
-                ca = bd_curve(a_df[a_df.sequence == seq], a_pts)
-                cb = bd_curve(df[df.sequence == seq], pts)
-                if len(ca) < 2 or len(cb) < 2:
+                ca = bd_curve(a_df[a_df.sequence == seq],
+                              bd_points_for(anchor, seq))
+                cb = bd_curve(df[df.sequence == seq],
+                              bd_points_for(exp, seq))
+                if len(ca) < 2 or len(cb) < 2 \
+                        or ca[mkey].isna().any() or cb[mkey].isna().any():
                     continue
                 rows.append({
                     "experiment": exp, "sequence": seq, "metric": mkey,
@@ -161,11 +272,17 @@ def plot_experiments(experiments, results_path="./results",
         print("no test.csv found for", experiments)
         return
     plot_rd(frames, out_dir)
-    for seq in sorted({s for df in frames.values() for s in df.sequence.unique()}):
+    seqs = sorted({s for df in frames.values()
+                   for s in df.sequence.unique()})
+    for seq in seqs:
         plot_rd(frames, out_dir, sequence=seq)
+    if any("pcqm" in df for df in frames.values()):
+        plot_rd(frames, out_dir, pareto=True)
     plot_contours(frames, out_dir, metric="bpp")
-    if "sym_y_psnr" in next(iter(frames.values())):
-        plot_contours(frames, out_dir, metric="sym_y_psnr")
+    first = next(iter(frames.values()))
+    for metric in ("sym_y_psnr", "pcqm"):
+        if metric in first:
+            plot_contours(frames, out_dir, metric=metric)
     if anchor:
         compute_bd_deltas(frames, anchor, out_dir)
     compute_times(frames, out_dir)

@@ -80,3 +80,66 @@ def test_plot_experiments(tmp_path):
     assert len(bd) > 0
     # the +0.5 dB run must show negative BD-rate (better)
     assert (bd[bd.metric == "sym_y_psnr"]["bd_rate_%"] < 0).all()
+
+
+def test_load_csvs_pcqm_flip_and_dataset_averages(tmp_path):
+    """1-PCQM preprocessing + per-dataset averaged pseudo-sequence rows
+    (reference plot.py:459-486)."""
+    import plot as plot_mod
+    rows = []
+    for seq in ["loot", "longdress"]:
+        for qg in [0.2, 1.0]:
+            rows.append({"sequence": seq, "q_g": qg, "q_a": qg,
+                         "bpp": 0.5 * qg, "pcqm": 0.02 - 0.01 * qg,
+                         "sym_y_psnr": 25 + 5 * qg})
+    d = tmp_path / "run"
+    d.mkdir()
+    pd.DataFrame(rows).to_csv(d / "test.csv", index=False)
+    frames = plot_mod.load_csvs(["run"], results_path=str(tmp_path))
+    df = frames["run"]
+    # pcqm flipped to 1-PCQM
+    assert np.isclose(df[df.sequence == "loot"].pcqm.max(), 1 - 0.01)
+    # one averaged row per (q_a, q_g) with the dataset's name
+    avg = df[df.sequence == "8iVFBv2"]
+    assert len(avg) == 2
+    lone = df[(df.sequence == "loot") & (df.q_g == 0.2)].iloc[0]
+    long = df[(df.sequence == "longdress") & (df.q_g == 0.2)].iloc[0]
+    got = avg[avg.q_g == 0.2].iloc[0]
+    assert np.isclose(got.sym_y_psnr, (lone.sym_y_psnr + long.sym_y_psnr) / 2)
+
+
+def test_pareto_front_extraction():
+    import plot as plot_mod
+    df = pd.DataFrame({
+        "sequence": ["a"] * 5,
+        "bpp": [0.1, 0.2, 0.3, 0.4, 0.5],
+        "pcqm": [0.90, 0.95, 0.93, 0.96, 0.94],  # already 1-PCQM here
+    })
+    front = plot_mod.get_pareto_df(df)
+    assert front.bpp.tolist() == [0.1, 0.2, 0.4]
+    assert front.pcqm.is_monotonic_increasing
+
+
+def test_anchor_testset_gpcc_native(tmp_path, monkeypatch):
+    import evaluate
+    monkeypatch.setattr(evaluate, "TEST_SET", {
+        "loot": {"resolution": 63, "block_size": 64, "frame": 0}})
+    monkeypatch.setitem(evaluate.ANCHOR_GRIDS, "gpcc_native",
+                        {"q_as": [22, 40], "q_gs": [1.0, 0.5]})
+
+    def tiny_frame(sequence, spec, data_root, allow_synthetic=True):
+        from upcc_tpu.data.synthetic import scan_like_cloud
+        xyz, rgb = scan_like_cloud(np.random.default_rng(0), extent=64,
+                                   n_target=3000)
+        return np.concatenate([xyz.astype(np.float32), rgb], 1), True
+    monkeypatch.setattr(evaluate, "load_frame", tiny_frame)
+
+    evaluate.run_testset(["gpcc_native"], results_path=str(tmp_path),
+                         pcqm_max_points=2000)
+    df = pd.read_csv(tmp_path / "gpcc_native" / "test.csv")
+    assert len(df) == 4
+    assert {"bpp", "pcqm", "sym_y_psnr", "t_compress"}.issubset(df.columns)
+    # better qp (lower) at same scale -> higher color quality, more bits
+    hi = df[(df.q_a == 22) & (df.q_g == 1.0)].iloc[0]
+    lo = df[(df.q_a == 40) & (df.q_g == 1.0)].iloc[0]
+    assert hi.sym_y_psnr > lo.sym_y_psnr and hi.bpp > lo.bpp
