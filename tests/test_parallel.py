@@ -74,3 +74,50 @@ def test_dp_matches_single_device():
               for i in range(8)]
     np.testing.assert_allclose(float(metrics_dp["loss"]), np.mean(losses),
                                rtol=2e-4)
+
+
+def test_block_parallel_bitstream_equality(monkeypatch):
+    """Block-parallel inference (groups dispatched concurrently over the
+    8-device CPU mesh) must produce the byte-identical bitstream and the
+    identical reconstruction as the sequential single-device path."""
+    from upcc_tpu.codec import codec as codec_mod
+    from upcc_tpu.codec.codec import Codec
+    from upcc_tpu.data.synthetic import surface_cloud
+    from upcc_tpu.models.unified import UnifiedModel
+    from upcc_tpu.ops.sparse import from_points_host
+
+    cfg = {"max_batch": 1,
+           "g_a": {"C_in": 4, "N1": 8, "N2": 8, "N3": 8, "N4": 8},
+           "g_s": {"C_out": 3, "N1": 8, "N2": 8, "N3": 8, "N4": 8},
+           "entropy_model": {"C_bottleneck": 8, "C_hyper_bottleneck": 12,
+                             "quantization_mode": "ste",
+                             "inverse_rescaling": True,
+                             "quantization_offset": True}}
+    model = UnifiedModel(cfg)
+    rng = np.random.default_rng(0)
+    xyz, rgb = surface_cloud(rng, extent=32, n_target=400)
+    st = from_points_host(np.zeros(len(xyz), np.int32), xyz, rgb, 512)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0),
+                                  "noise": jax.random.PRNGKey(1)},
+                                 st, jnp.full((1, 2), 0.5, jnp.float32),
+                                 jnp.ones((1, 2), jnp.float32))["params"]
+
+    # a cloud spanning many 32-blocks; small groups force >1 group
+    xyz2, rgb2 = surface_cloud(np.random.default_rng(1), extent=128,
+                               n_target=6000)
+    pc = np.concatenate([xyz2.astype(np.float32), rgb2], axis=1)
+    monkeypatch.setattr(codec_mod, "MAX_GROUP", 3)
+
+    seq = Codec(model, params)
+    seq.update()
+    blob_seq = seq.compress(pc, q=(0.5, 0.5), block_size=32)
+    rec_seq = seq.decompress(blob_seq)
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "expected the virtual 8-device CPU mesh"
+    par = Codec(model, params, devices=devs)
+    par.update()
+    blob_par = par.compress(pc, q=(0.5, 0.5), block_size=32)
+    assert blob_par == blob_seq
+    rec_par = par.decompress(blob_seq)
+    np.testing.assert_array_equal(rec_par, rec_seq)

@@ -22,6 +22,7 @@ the inverse.  TPU-native structure:
 """
 
 import math
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +45,7 @@ def _bucket(n, lo=512):
 
 
 class Codec:
-    def __init__(self, model, params):
+    def __init__(self, model, params, devices=None):
         self.model = model
         # codec-side twin with max_batch=64 so up to 63 blocks share one
         # device pass (parameters are independent of max_batch)
@@ -54,10 +55,34 @@ class Codec:
         self.params = params
         self.tables = None
         self._jits = {}
+        self._jit_lock = threading.Lock()
         self.debug = False
         self.debug_info = []
         self.profile = False
         self.stage_times = {}
+        # block-parallel inference: groups of blocks dispatch round-robin
+        # over these devices (parallel/block_parallel.py); None = default
+        # device only (single-chip sequential path)
+        self.devices = list(devices) if devices else None
+        self._params_dev = {}
+
+    # -- device placement (block-parallel groups) ----------------------------
+
+    def _dev(self, x, device):
+        if device is None:
+            return jnp.asarray(x)
+        return jax.device_put(np.ascontiguousarray(x), device)
+
+    def _params_for(self, device):
+        if device is None:
+            return self.params
+        key = id(device)
+        if key not in self._params_dev:
+            with self._jit_lock:
+                if key not in self._params_dev:
+                    self._params_dev[key] = jax.device_put(self.params,
+                                                           device)
+        return self._params_dev[key]
 
     def _t(self, name, fn, *args):
         """Run a stage; when profiling, block and accumulate wall time."""
@@ -89,9 +114,10 @@ class Codec:
     # -- cached jitted device graphs ----------------------------------------
 
     def _jit(self, name, builder):
-        if name not in self._jits:
-            self._jits[name] = builder()
-        return self._jits[name]
+        with self._jit_lock:
+            if name not in self._jits:
+                self._jits[name] = builder()
+            return self._jits[name]
 
     def _rebucket(self, src_cap, dst_cap):
         def build():
@@ -191,8 +217,8 @@ class Codec:
         bounds = np.concatenate([[0], np.where(change)[0] + 1, [len(xyz)]])
 
         levels = max(1, int(math.ceil(math.log2(max(block_size // 8, 2)))))
-        qv = jnp.asarray(np.asarray(q, np.float32).reshape(1, 2))
-        blocks = []
+        qv = np.asarray(q, np.float32).reshape(1, 2)
+        groups = []
         group, group_origins = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             bxyz = xyz[s:e]
@@ -200,15 +226,34 @@ class Codec:
             group.append((bxyz - origin, rgb[s:e]))
             group_origins.append(tuple(int(v) for v in origin))
             if len(group) == MAX_GROUP:
-                blocks += self._compress_group(group, group_origins, qv, levels)
+                groups.append((group, group_origins))
                 group, group_origins = [], []
         if group:
-            blocks += self._compress_group(group, group_origins, qv, levels)
+            groups.append((group, group_origins))
+        results = self._map_groups(
+            lambda item, dev: self._compress_group(item[0], item[1], qv,
+                                                   levels, device=dev),
+            groups)
+        blocks = [b for r in results for b in r]
         return bitstream.write_container(path, blocks, scaling_factor)
 
-    def _compress_group(self, group, origins, qv, levels):
+    def _map_groups(self, fn, items):
+        """Sequential on one device; round-robin thread-pool over
+        self.devices otherwise (parallel/block_parallel.py).  debug and
+        profile recording require deterministic stage order, so they force
+        the sequential path."""
+        if self.devices and len(self.devices) > 1 and len(items) > 1 \
+                and not (self.debug or self.profile):
+            from ..parallel.block_parallel import parallel_map_blocks
+            return parallel_map_blocks(fn, items, devices=self.devices)
+        dev = self.devices[0] if self.devices else None
+        return [fn(item, dev) for item in items]
+
+    def _compress_group(self, group, origins, qv, levels, device=None):
         """Encode up to MAX_GROUP blocks in one batched device pass."""
         from ..ops.sparse import voxelize_host_np
+        params = self._params_for(device)
+        qv = self._dev(qv, device)
         g = len(group)
         batch = np.concatenate([np.full(len(x), i, np.int32)
                                 for i, (x, _) in enumerate(group)])
@@ -243,10 +288,10 @@ class Codec:
                               ).astype(np.int32)
         colors_u8 = np.clip(np.round(feats_host * 255.0), 0, 255
                             ).astype(np.uint8)
-        enc = self._t("enc.analyze", self._analyze(cap), self.params,
-                      jnp.asarray(batch_u8), jnp.asarray(morton_i32),
-                      jnp.asarray(colors_u8),
-                      jnp.asarray(ga_rn_idx), jnp.asarray(ga_rn_ok))
+        enc = self._t("enc.analyze", self._analyze(cap), params,
+                      self._dev(batch_u8, device), self._dev(morton_i32, device),
+                      self._dev(colors_u8, device),
+                      self._dev(ga_rn_idx, device), self._dev(ga_rn_ok, device))
 
         # re-bucket y to the decoder's capacity (bucket of the true count);
         # device-side slice/pad — only the scalar count crosses the tunnel
@@ -261,14 +306,14 @@ class Codec:
         _, z_rn_idx, z_rn_ok = self._t(
             "enc.host_root_z", F.host_root_neighbors, y_keys_np, 2, z_root_cap,
             [int(zf[0] * ycap), z_root_cap])
-        z_rn = (jnp.asarray(z_rn_idx), jnp.asarray(z_rn_ok))
-        hyp = self._t("enc.hyper", self._hyper_analyze(ycap), self.params,
+        z_rn = (self._dev(z_rn_idx, device), self._dev(z_rn_ok, device))
+        hyp = self._t("enc.hyper", self._hyper_analyze(ycap), params,
                       y_keys, y_feats, *z_rn)
         z_keys = hyp["z_keys"]
         dec = self._t("enc.params", self._params_graph(ycap, int(z_keys.shape[0])),
-                      self.params, y_keys, hyp["z_sym"], qv, *z_rn)
+                      params, y_keys, hyp["z_sym"], qv, *z_rn)
         y_sym = self._t("enc.symbols", self._symbols_graph(ycap),
-                        self.params, y_feats, dec)
+                        params, y_feats, dec)
 
         # host: per-block prefix runs (batch-major order) and entropy coding
         yv = y_keys_np != sent
@@ -338,17 +383,18 @@ class Codec:
             if not runs or runs[-1][-1]["q"] != b["q"]:
                 runs.append([])
             runs[-1].append(b)
-        outs = []
-        for run in runs:
-            for i in range(0, len(run), MAX_GROUP):
-                outs.append(self._decompress_group(run[i:i + MAX_GROUP]))
+        items = [run[i:i + MAX_GROUP] for run in runs
+                 for i in range(0, len(run), MAX_GROUP)]
+        outs = self._map_groups(
+            lambda blks, dev: self._decompress_group(blks, device=dev), items)
         x = np.concatenate(outs, axis=0)
         if scaling_factor != 1.0:
             x[:, :3] = x[:, :3] * scaling_factor
         return x
 
-    def _decompress_group(self, blks):
+    def _decompress_group(self, blks, device=None):
         """Decode up to MAX_GROUP blocks in one batched device pass."""
+        params = self._params_for(device)
         g = len(blks)
         zt, yt = self.tables["z"], self.tables["y"]
         sent = np.iinfo(np.int64).max
@@ -366,7 +412,7 @@ class Codec:
         for i, m in enumerate(mortons):
             y_keys_np[pos:pos + len(m)] = m | (np.int64(i) << C.BATCH_SHIFT)
             pos += len(m)
-        y_keys = jnp.asarray(y_keys_np)
+        y_keys = self._dev(y_keys_np, device)
 
         # z symbols per block, concatenated in batch-major prefix order
         zch = zt["cdf"].shape[0]
@@ -385,13 +431,14 @@ class Codec:
         z_all = np.concatenate(z_rows) if z_rows else np.zeros((0, zch), np.int32)
         z_sym[:len(z_all)] = z_all
 
-        qv = jnp.asarray(np.asarray(blks[0]["q"], np.float32).reshape(1, 2))
+        qv = self._dev(np.asarray(blks[0]["q"], np.float32).reshape(1, 2),
+                       device)
         _, z_rn_idx, z_rn_ok = self._t(
             "dec.host_root", F.host_root_neighbors, y_keys_np, 2, zcap,
             [int(zf[0] * ycap), zcap])
         dec = self._t("dec.params", self._params_graph(ycap, zcap),
-                      self.params, y_keys, jnp.asarray(z_sym), qv,
-                      jnp.asarray(z_rn_idx), jnp.asarray(z_rn_ok))
+                      params, y_keys, self._dev(z_sym, device), qv,
+                      self._dev(z_rn_idx, device), self._dev(z_rn_ok, device))
 
         ypre = _bucket(n_y, 64)
         y_idx = self._t("dec.fetch_idx", lambda: np.asarray(
@@ -430,7 +477,8 @@ class Codec:
         prune_caps = tuple(_bucket(int(k[l].sum())) for l in range(3))
         batch_u8, morton_i32, colors8 = self._t(
             "dec.reconstruct", self._reconstruct_graph(ycap, prune_caps),
-            self.params, y_keys, jnp.asarray(y_sym), dec, jnp.asarray(k))
+            params, y_keys, self._dev(y_sym, device), dec,
+            self._dev(k, device))
 
         bu = self._t("dec.fetch_out", lambda: np.asarray(batch_u8))
         mi = np.asarray(morton_i32)
