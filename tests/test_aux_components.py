@@ -87,15 +87,77 @@ def test_misc_utils():
                                   [False, True, False])
 
 
-def test_pcqm_proxy():
+def test_pcqm_anchor_wrapper():
     from upcc_tpu.data.synthetic import surface_cloud
     from upcc_tpu.eval.anchors import pcqm
     xyz, rgb = surface_cloud(np.random.default_rng(4), extent=64, n_target=2000)
     pc = np.concatenate([xyz.astype(np.float32), rgb], 1)
-    val, exact = pcqm(pc, pc)
-    assert not exact  # binary absent in this environment
+    val, source = pcqm(pc, pc)
+    assert source == "native"  # binary absent in this environment
     assert 0.0 <= val <= 1.0
     pc2 = pc.copy()
     pc2[:, 3:] = np.clip(pc2[:, 3:] + 0.3, 0, 1)
     val2, _ = pcqm(pc, pc2)
     assert val2 > val  # worse reconstruction -> higher PCQM (lower quality)
+
+
+def test_color_jitter_behavior():
+    """ColorJitter parity checks (reference data/transform.py:32-54):
+    coordinates untouched, colors stay in [0, 1], hue-only jitter preserves
+    HSV value, and draws differ call to call."""
+    from upcc_tpu.data.transform import ColorJitter, _hsv_to_rgb, _rgb_to_hsv
+    rng = np.random.default_rng(0)
+    xyz = rng.integers(0, 64, (500, 3)).astype(np.int32)
+    rgb = rng.uniform(0, 1, (500, 3)).astype(np.float32)
+
+    # hsv<->rgb are inverses
+    back = _hsv_to_rgb(_rgb_to_hsv(rgb))
+    np.testing.assert_allclose(back, rgb, atol=1e-5)
+
+    tj = ColorJitter(seed=1)
+    x2, c2 = tj(xyz, rgb)
+    np.testing.assert_array_equal(x2, xyz)
+    assert c2.min() >= 0.0 and c2.max() <= 1.0
+    assert not np.allclose(c2, rgb)
+    _, c3 = tj(xyz, rgb)
+    assert not np.allclose(c2, c3)  # fresh draw per call
+
+    # hue-only jitter is a rotation: value channel (max) is preserved
+    th = ColorJitter(brightness=0, contrast=0, saturation=0, hue=0.3, seed=2)
+    _, ch = th(xyz, rgb)
+    np.testing.assert_allclose(ch.max(-1), rgb.max(-1), atol=1e-5)
+
+
+def test_random_rotate_behavior():
+    """RandomRotate parity checks (reference data/transform.py:57-105):
+    points stay inside the block, output voxels are unique, the rotation
+    is a rigid motion (pairwise distances preserved up to requantization),
+    and colors follow their points."""
+    from upcc_tpu.data.transform import RandomRotate
+    rng = np.random.default_rng(3)
+    n, bs = 400, 64
+    xyz = rng.integers(8, 56, (n, 3)).astype(np.int32)
+    xyz = np.unique(xyz, axis=0)
+    rgb = rng.uniform(0, 1, (len(xyz), 3)).astype(np.float32)
+
+    tr = RandomRotate(block_size=bs, seed=5)
+    x2, c2 = tr(xyz, rgb)
+    assert x2.min() >= 0 and x2.max() < bs
+    assert len(np.unique(x2, axis=0)) == len(x2)
+    assert len(x2) == len(c2) and len(x2) > 0
+
+    # rigid motion: the centroid stays near the cube center's orbit and
+    # the point-set diameter is preserved up to rounding
+    def diameter(a):
+        from scipy.spatial.distance import pdist
+        return pdist(a.astype(np.float64)).max()
+    assert abs(diameter(x2) - diameter(xyz)) < 3.5  # sqrt(3) rounding x2
+
+    # colors ride with their points: a uniquely-colored point keeps its
+    # color at the rotated location
+    rgbu = rgb.copy()
+    rgbu[0] = [1.0, 0.0, 0.0]
+    tr2 = RandomRotate(block_size=bs, seed=5)
+    x3, c3 = tr2(xyz, rgbu)
+    hits = np.where((c3 == [1.0, 0.0, 0.0]).all(1))[0]
+    assert len(hits) >= 1
