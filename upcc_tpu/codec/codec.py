@@ -427,7 +427,9 @@ class Codec:
         zf = self.model.config["entropy_model"].get(
             "cap_factors", MeanScaleHyperprior.cap_factors)
         zcap = int(zf[1] * ycap)
-        z_sym = np.zeros((zcap, zch), np.int32)
+        # int16 uploads match the device graphs' symbol format (the values
+        # are the encoder's int16-clipped symbols by construction)
+        z_sym = np.zeros((zcap, zch), np.int16)
         z_all = np.concatenate(z_rows) if z_rows else np.zeros((0, zch), np.int32)
         z_sym[:len(z_all)] = z_all
 
@@ -444,7 +446,7 @@ class Codec:
         y_idx = self._t("dec.fetch_idx", lambda: np.asarray(
             dec["indexes"][:ypre]))[:n_y]
         cb = self.model.config["entropy_model"]["C_bottleneck"]
-        y_sym = np.zeros((ycap, cb), np.int32)
+        y_sym = np.zeros((ycap, cb), np.int16)
         pos = 0
         for b in blks:
             idx_i = y_idx[pos:pos + b["n_y"]].reshape(-1)
