@@ -257,3 +257,39 @@ def test_topk_exactness_stress():
                 thresh = np.sort(logits[pool])[::-1][kk - 1]
                 assert (logits[sel] >= thresh).all()
         assert not (keep & ~v).any()
+
+
+def test_cumsum_i32_matches_numpy():
+    from upcc_tpu.ops.scan import cumsum_i32
+    rng = np.random.default_rng(3)
+    for n in [1, 100, 4096, 4097, 70000, 300001]:
+        x = rng.integers(0, 3, size=(n,)).astype(np.int32)
+        got = np.asarray(jax.jit(cumsum_i32)(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.cumsum(x).astype(np.int32))
+    b = rng.random(50000) < 0.3
+    got = np.asarray(jax.jit(cumsum_i32)(jnp.asarray(b)))
+    np.testing.assert_array_equal(got, np.cumsum(b).astype(np.int32))
+
+
+def test_compact_gather_semantics():
+    from upcc_tpu.ops.sparse import compact
+    rng = np.random.default_rng(7)
+    n = 9000
+    keys = np.sort(rng.choice(1 << 30, size=n, replace=False)).astype(np.int64)
+    keep = rng.random(n) < 0.2
+    feats = rng.standard_normal((n, 5)).astype(np.float32)
+    aux = rng.integers(0, 100, size=(n,)).astype(np.int32)
+    jc = jax.jit(compact, static_argnames=("out_capacity",))
+    for cap in [None, n, 1024, int(keep.sum())]:
+        k2, f2, a2 = jc(jnp.asarray(keys), jnp.asarray(keep),
+                        jnp.asarray(feats), jnp.asarray(aux),
+                        out_capacity=cap)
+        m = n if cap is None else cap
+        kk = keys[keep][:m]
+        assert k2.shape == (m,)
+        np.testing.assert_array_equal(np.asarray(k2)[:len(kk)], kk)
+        assert np.all(np.asarray(k2)[len(kk):] == np.iinfo(np.int64).max)
+        np.testing.assert_array_equal(np.asarray(f2)[:len(kk)], feats[keep][:m])
+        assert np.all(np.asarray(f2)[len(kk):] == 0)
+        np.testing.assert_array_equal(np.asarray(a2)[:len(kk)], aux[keep][:m])
+        assert np.all(np.asarray(a2)[len(kk):] == 0)

@@ -226,9 +226,8 @@ class SparseSynthesisTransform(nn.Module):
             # prune with parent links carried through the compaction
             with jax.named_scope(f"gs_prune_l{lvl}"):
                 pk, pf, ppar, pslot = compact(child_keys, keep, cand.feats,
-                                              cf.point_parent, cf.point_slot)
-                pk, pf = pk[:caps[lvl]], pf[:caps[lvl]]
-                ppar, pslot = ppar[:caps[lvl]], pslot[:caps[lvl]]
+                                              cf.point_parent, cf.point_slot,
+                                              out_capacity=caps[lvl])
                 pvalid = C.key_is_valid(pk)
                 ppar = jnp.where(pvalid, ppar, n_parents)
             x = SparseTensor(keys=pk, feats=pf, stride=x.stride // 2)

@@ -315,7 +315,8 @@ def build_family(keys, parent_cap=None, parent_keys=None, nbr=None):
         new = jnp.concatenate([jnp.array([True]), pkey[1:] != pkey[:-1]])
         new = new & C.key_is_valid(pkey)
         # index of each point's parent among the dedup'd parents
-        pidx = jnp.cumsum(new.astype(jnp.int32)) - 1
+        from .scan import cumsum_i32
+        pidx = cumsum_i32(new) - 1
         pidx = jnp.where(C.key_is_valid(pkey), pidx, parent_cap)
         dest = jnp.where(new, pidx, parent_cap)
         parent_keys = jnp.full((parent_cap,), C.SENTINEL, keys.dtype).at[

@@ -78,21 +78,35 @@ def _sort_by_keys(keys, feats):
     return keys[order], feats[order]
 
 
-def compact(keys, keep, *arrays):
+def compact(keys, keep, *arrays, out_capacity=None):
     """Stable compaction: move kept rows to the front, sentinel/zero the tail.
 
     Because the input keys are sorted and compaction is stable, the output
     keys stay sorted — this replaces full re-sorts after dedup/prune, whose
-    XLA-TPU compile time scales with array size.  O(N) cumsum + scatter."""
+    XLA-TPU compile time scales with array size.
+
+    Gather formulation: only a 4-byte int32 source-index map is scattered
+    (kept destinations are unique and in range); keys and payload arrays
+    then move by row gathers.  Scattering the payload directly was measured
+    ~6x slower at the codec's candidate-set sizes (multi-hundred-MB feature
+    scatters serialize on TPU).  ``out_capacity`` trims the output (the
+    decode prune keeps a small fraction of millions of candidates — sizing
+    the gather to the output avoids touching the dropped tail at all)."""
+    from .scan import cumsum_i32
     n = keys.shape[0]
-    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dest = jnp.where(keep, dest, n)  # out-of-range rows are dropped
-    out_keys = jnp.full((n,), C.SENTINEL, keys.dtype).at[dest].set(
-        keys, mode="drop")
+    m = out_capacity if out_capacity is not None else n
+    dest = cumsum_i32(keep) - 1
+    dest = jnp.where(keep, dest, m)  # out-of-range rows are dropped
+    src = jnp.full((m,), n, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+    srcc = jnp.minimum(src, n - 1)
+    ok = src < n
+    out_keys = jnp.where(ok, keys[srcc], C.SENTINEL)
     outs = []
     for a in arrays:
-        z = jnp.zeros_like(a)
-        outs.append(z.at[dest].set(a, mode="drop"))
+        g = a[srcc]
+        okr = ok.reshape((m,) + (1,) * (a.ndim - 1))
+        outs.append(jnp.where(okr, g, jnp.zeros((), g.dtype)))
     return (out_keys, *outs)
 
 
@@ -240,8 +254,8 @@ def downsample_keys(keys, capacity=None):
     parent = jnp.where(C.key_is_valid(keys), parent, C.SENTINEL)
     dup = jnp.concatenate([jnp.array([False]), parent[1:] == parent[:-1]])
     keep = ~dup & C.key_is_valid(parent)
-    (parent,) = compact(parent, keep)
-    return parent[:capacity]
+    (parent,) = compact(parent, keep, out_capacity=capacity)
+    return parent
 
 
 def upsample_children_keys(keys):
