@@ -201,3 +201,90 @@ def test_host_root_neighbors_match_device():
         np.testing.assert_array_equal(hok, np.asarray(dok))
         ok = hok
         np.testing.assert_array_equal(hidx[ok], np.asarray(didx)[ok])
+
+
+def _rand_grand_setup(rng, ng=40, extent=16, pick=0.6):
+    """Random G set + random x subset of children(G), with maps."""
+    from upcc_tpu.ops import coords as C
+    from upcc_tpu.ops import family as F
+    units = rng.choice(extent ** 3, size=ng, replace=False)
+    gu = np.stack([units // (extent * extent), (units // extent) % extent,
+                   units % extent], 1).astype(np.int64)
+    gk = np.sort(np.asarray(C.morton_encode_np(gu)))
+    g_nbr = F.root_neighbors(jnp.asarray(gk))
+    # x = random subset of the 8*ng child slots
+    sel = np.sort(rng.choice(8 * ng, size=int(pick * 8 * ng), replace=False))
+    xk = (gk[sel >> 3] << 3) | (sel & 7)
+    ppar = (sel >> 3).astype(np.int32)
+    pslot = (sel & 7).astype(np.int32)
+    return gk, g_nbr, jnp.asarray(xk), ppar, pslot
+
+
+def test_grand_transpose_matches_flat():
+    from upcc_tpu.ops import family as F
+    rng = np.random.default_rng(11)
+    gk, g_nbr, xk, ppar, pslot = _rand_grand_setup(rng)
+    cin, cout = 5, 3
+    nx = xk.shape[0]
+    feats = rng.standard_normal((nx, cin)).astype(np.float32)
+    w = rng.standard_normal((125, cin, cout)).astype(np.float32) * 0.2
+    x_nbr = F.root_neighbors(xk)
+    flat = jax.jit(lambda f, w: F.family_transpose_up(
+        x_nbr, f, jnp.ones(nx, bool), w, 5))(feats, w)  # [8*nx, cout]
+    # brick of x over G
+    xb = np.zeros((len(gk), 8, cin), np.float32)
+    xb[ppar, pslot] = feats
+    grand = jax.jit(lambda b, w: F.grand_apply(g_nbr, b, w, 5, "transpose"))(
+        jnp.asarray(xb), w)  # [G, 64, cout]
+    got = np.asarray(grand)[ppar[:, None],
+                            pslot[:, None] * 8 + np.arange(8)[None]]
+    np.testing.assert_allclose(got.reshape(8 * nx, cout), np.asarray(flat),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grand_conv_matches_flat():
+    from upcc_tpu.ops import family as F
+    rng = np.random.default_rng(12)
+    gk, g_nbr, xk, ppar, pslot = _rand_grand_setup(rng)
+    cin, cout = 4, 6
+    nx = xk.shape[0]
+    # candidates = children(x); random feats at candidates
+    cfeats = rng.standard_normal((8 * nx, cin)).astype(np.float32)
+    w = rng.standard_normal((27, cin, cout)).astype(np.float32) * 0.2
+    x_nbr = F.root_neighbors(xk)
+    cf = F.child_family(xk, nbr=x_nbr)
+    cvalid = jnp.ones(8 * nx, bool)
+    flat = jax.jit(lambda f, w: F.family_conv(
+        cf, f, cvalid, w, 3, out_keys_valid=cvalid))(cfeats, w)
+    cb = np.zeros((len(gk), 64, cin), np.float32)
+    cb[ppar[:, None], pslot[:, None] * 8 + np.arange(8)[None]] = \
+        cfeats.reshape(nx, 8, cin)
+    grand = jax.jit(lambda b, w: F.grand_apply(g_nbr, b, w, 3, "conv"))(
+        jnp.asarray(cb), w)
+    got = np.asarray(grand)[ppar[:, None],
+                            pslot[:, None] * 8 + np.arange(8)[None]]
+    np.testing.assert_allclose(got.reshape(8 * nx, cout), np.asarray(flat),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grand_down_matches_flat():
+    from upcc_tpu.ops import family as F
+    rng = np.random.default_rng(13)
+    gk, g_nbr, xk, ppar, pslot = _rand_grand_setup(rng)
+    cin, cout = 4, 3
+    nx = xk.shape[0]
+    cfeats = rng.standard_normal((8 * nx, cin)).astype(np.float32)
+    w = rng.standard_normal((125, cin, cout)).astype(np.float32) * 0.2
+    x_nbr = F.root_neighbors(xk)
+    cf = F.child_family(xk, nbr=x_nbr)
+    cvalid = jnp.ones(8 * nx, bool)
+    # flat stride-2 down conv: output set = x
+    flat = jax.jit(lambda f, w: F.family_down_conv(cf, f, cvalid, w, 5))(
+        cfeats, w)  # [nx, cout]
+    cb = np.zeros((len(gk), 64, cin), np.float32)
+    cb[ppar[:, None], pslot[:, None] * 8 + np.arange(8)[None]] = \
+        cfeats.reshape(nx, 8, cin)
+    grand = jax.jit(lambda b, w: F.grand_apply(g_nbr, b, w, 5, "down"))(
+        jnp.asarray(cb), w)  # [G, 8, cout]
+    np.testing.assert_allclose(np.asarray(grand)[ppar, pslot],
+                               np.asarray(flat), rtol=2e-5, atol=2e-5)

@@ -502,6 +502,103 @@ def family_transpose_up(fm_parent_nbr, in_feats, in_valid, weights,
     return acc.reshape(8 * n_out, cout)
 
 
+# -- grandparent-brick ("grand") kernels -------------------------------------
+#
+# At the decoder's finest level the candidate set is millions of rows while
+# its grandparent set G (two octree levels up) is ~64x smaller.  Row gathers
+# on TPU are op-bound (~20M rows/s almost independent of row width), so
+# folding BOTH child levels into the brick — features live in [G, 64, C]
+# grandchild-slot layout and convs gather 27 G-neighbor rows of 2-8 KB —
+# cuts gather ops 8x vs the [P, 8, C] child bricks above.  The price is
+# denser tap matrices ([64*cin, 64*cout] slot-pair blocks, mostly zeros), so
+# this pays only where channels are small: exactly the finest synthesis
+# level (transpose N1->N1/4, heads N1/4->N4/8->1).
+
+_GRAND_SLOTS = {"conv": (64, 64), "transpose": (8, 64), "down": (64, 8)}
+
+
+def _grand_axes(v, n):
+    """Per-axis position of slot v within its grandparent (n=64) or parent
+    (n=8) cell, following the (x<<2 | y<<1 | z) slot bit convention."""
+    if n == 64:
+        hi, lo = v >> 3, v & 7
+        return np.array([2 * ((hi >> 2) & 1) + ((lo >> 2) & 1),
+                         2 * ((hi >> 1) & 1) + ((lo >> 1) & 1),
+                         2 * (hi & 1) + (lo & 1)])
+    return np.array([(v >> 2) & 1, (v >> 1) & 1, v & 1])
+
+
+def _grand_tap_table(kernel_size, mode):
+    """Static [27, n_in, n_out] tap index into the K^3 kernel for
+    (G-offset eps, slot_in, slot_out), -1 outside the kernel.
+
+    Tap conventions match the child-brick kernels above:
+      conv:      delta = in - out            = 4e + v_in - v_out
+      transpose: delta = out - 2*in (gen-up)  = v_out - 2*v_in - 4e
+      down:      delta = in - 2*out (stride2) = 4e + v_in - 2*v_out
+    where e is the offset of the *gathered input* G-cell relative to the
+    output's G-cell (nbr rows are u + eps in _EPS_OFFSETS order)."""
+    r = kernel_size // 2
+    k = kernel_size
+    n_in, n_out = _GRAND_SLOTS[mode]
+    tab = np.full((27, n_in, n_out), -1, np.int32)
+    for ei, e in enumerate(_EPS_OFFSETS):
+        for si in range(n_in):
+            vi = _grand_axes(si, n_in)
+            for so in range(n_out):
+                vo = _grand_axes(so, n_out)
+                if mode == "conv":
+                    d = 4 * e + vi - vo
+                elif mode == "transpose":
+                    d = vo - 2 * vi - 4 * e
+                else:
+                    d = 4 * e + vi - 2 * vo
+                if np.all(np.abs(d) <= r):
+                    tab[ei, si, so] = (d[0] + r) * k * k + (d[1] + r) * k \
+                        + (d[2] + r)
+    return tab
+
+
+def grand_expand_weights(weights, kernel_size, mode, compute_dtype):
+    """weights [K^3, cin, cout] -> [27, n_in*cin, n_out*cout]."""
+    tab = _grand_tap_table(kernel_size, mode)
+    n_in, n_out = tab.shape[1], tab.shape[2]
+    cin, cout = weights.shape[1], weights.shape[2]
+    wpad = jnp.concatenate(
+        [weights, jnp.zeros((1, cin, cout), weights.dtype)], axis=0)
+    w = wpad[jnp.asarray(tab)]  # [27, n_in, n_out, cin, cout]
+    w = jnp.where(jnp.asarray(tab)[..., None, None] >= 0, w, 0.0)
+    return w.transpose(0, 1, 3, 2, 4).reshape(
+        27, n_in * cin, n_out * cout).astype(compute_dtype)
+
+
+def grand_apply(g_nbr, in_brick, weights, kernel_size, mode,
+                compute_dtype=None):
+    """Apply a conv/transpose/down-conv in grandparent-brick layout.
+
+    g_nbr: (idx, ok) 27-neighborhood self map of the G key set.
+    in_brick: [G, n_in, cin] with zeros at invalid slots.
+    Returns [G, n_out, cout] float32 (callers add bias and re-mask)."""
+    compute_dtype = compute_dtype or default_compute_dtype()
+    nbr_idx, nbr_ok = g_nbr
+    g = nbr_idx.shape[0]
+    n_in, n_out = _GRAND_SLOTS[mode]
+    cin = in_brick.shape[-1]
+    cout = weights.shape[-1]
+    wexp = grand_expand_weights(weights, kernel_size, mode, compute_dtype)
+    flat = in_brick.reshape(in_brick.shape[0], n_in * cin)[:g] \
+        .astype(compute_dtype)
+
+    def step(acc, inp):
+        ni, ok, wk = inp
+        nb = flat[jnp.minimum(ni, g - 1)] * ok[:, None].astype(compute_dtype)
+        return acc + jnp.dot(nb, wk, preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((g, n_out * cout), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (nbr_idx.T, nbr_ok.T, wexp), unroll=9)
+    return acc.reshape(g, n_out, cout)
+
+
 def family_down_conv(fm_in: FamilyMap, in_feats, in_valid, weights,
                      kernel_size, compute_dtype=None):
     """Strided (stride 2) conv: output set = fm_in.parent_keys.
