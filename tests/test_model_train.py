@@ -150,3 +150,31 @@ def test_host_root_maps_match_device_search(model_and_params):
                           np.asarray(out_host["prediction"].keys))
     assert np.array_equal(np.asarray(out_dev["prediction"].feats),
                           np.asarray(out_host["prediction"].feats))
+
+
+def test_gs_grand_finest_matches_flat(model_and_params):
+    """The grandparent-brick finest level must reproduce the flat path:
+    same candidate keys/logits (up to fp accumulation order), same
+    reconstruction."""
+    _, params, x, q, lam = model_and_params
+    fcfg = {k: dict(v) if isinstance(v, dict) else v for k, v in CFG.items()}
+    fcfg["g_s"] = dict(CFG["g_s"], grand_finest=False)
+    model = UnifiedModel(fcfg)  # flat finest level
+    gcfg = {k: dict(v) if isinstance(v, dict) else v for k, v in CFG.items()}
+    gcfg["g_s"] = dict(CFG["g_s"], grand_finest=True)
+    gmodel = UnifiedModel(gcfg)
+
+    def run(m):
+        out = m.apply({"params": params}, x, q, lam, training=False,
+                      rngs={"noise": jax.random.PRNGKey(7)})
+        return (out["prediction"].keys, out["prediction"].feats,
+                out["candidates"][2].keys, out["occ_logits"][2])
+    fk, ff, fck, fl = jax.jit(lambda: run(model))()
+    gk, gf, gck, gl = jax.jit(lambda: run(gmodel))()
+    np.testing.assert_array_equal(np.asarray(gck), np.asarray(fck))
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(fl),
+                               rtol=1e-4, atol=1e-4)
+    # identical top-k selections -> identical output key sets
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(fk))
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(ff),
+                               rtol=1e-4, atol=1e-4)

@@ -44,6 +44,34 @@ def _bucket(n, lo=512):
     return max(lo, 1 << max(0, math.ceil(math.log2(max(n, 1)))))
 
 
+def _host_downsample_levels(keys_np, n_levels):
+    """Exact per-level octree downsamples (numpy, microseconds): returns the
+    sorted valid key array of each level (batch bits preserved).
+
+    The device pyramids' static capacities are sized from these so conv
+    work tracks true occupancy instead of worst-case fractional caps —
+    surfaces shrink ~4x per halving, so worst-case caps waste 4-10x.  The
+    arrays are bit-identical to the device downsample chain (same
+    shift+dedup rule, both stable-sorted)."""
+    key_mask = (1 << C.BATCH_SHIFT) - 1
+    sent = np.iinfo(np.int64).max
+    m = np.asarray(keys_np)
+    m = m[m != sent]
+    out = []
+    for _ in range(n_levels):
+        m = np.unique((m & ~key_mask) | ((m & key_mask) >> 3))
+        out.append(m)
+    return out
+
+
+def _z_hs_caps(n_s16, n_z):
+    """Static caps shared bit-exactly by encoder and decoder: both derive
+    them from the y key set (s16 downsample count) and the z count."""
+    z_caps = (_bucket(n_s16), _bucket(n_z))
+    hs_caps = (_bucket(8 * n_z), _bucket(64 * n_z))
+    return z_caps, hs_caps
+
+
 class Codec:
     def __init__(self, model, params, devices=None):
         self.model = model
@@ -104,7 +132,10 @@ class Codec:
     # -- table freezing (reference model.update(), model.py:30-34) ----------
 
     def update(self):
-        bn = self.params["entropy_model"]["bottleneck"]
+        # one batched device->host transfer: the table builder evaluates the
+        # learned density in numpy and would otherwise re-fetch each param
+        # array per call through the (high-latency) device tunnel
+        bn = jax.device_get(self.params["entropy_model"]["bottleneck"])
         ch = self.model.config["entropy_model"]["C_hyper_bottleneck"]
         self.tables = {
             "z": build_cdf_tables(bn, ch),
@@ -133,7 +164,7 @@ class Codec:
             return jax.jit(fn)
         return self._jit(("rebucket", src_cap, dst_cap), build)
 
-    def _analyze(self, cap):
+    def _analyze(self, cap, level_caps):
         def build():
             def fn(params, batch_u8, morton_i32, colors_u8, rn_idx, rn_ok):
                 keys = jnp.where(
@@ -144,27 +175,28 @@ class Codec:
                 x = SparseTensor(keys=keys, feats=feats, stride=1)
                 return self.cmodel.apply({"params": params}, x,
                                          (rn_idx, rn_ok),
+                                         level_caps,
                                          method=self.cmodel.ga_device)
             return jax.jit(fn)
-        return self._jit(("analyze", cap), build)
+        return self._jit(("analyze", cap, level_caps), build)
 
-    def _hyper_analyze(self, ycap):
+    def _hyper_analyze(self, ycap, z_caps):
         def build():
             def fn(params, y_keys, y_feats, rn_idx, rn_ok):
                 return self.cmodel.apply({"params": params}, y_keys, y_feats,
-                                         (rn_idx, rn_ok),
+                                         (rn_idx, rn_ok), z_caps,
                                          method=self.cmodel.hyper_analyze_device)
             return jax.jit(fn)
-        return self._jit(("hyper", ycap), build)
+        return self._jit(("hyper", ycap, z_caps), build)
 
-    def _params_graph(self, ycap, zcap):
+    def _params_graph(self, ycap, z_caps, hs_caps):
         def build():
             def fn(params, y_keys, z_sym, q, rn_idx, rn_ok):
                 return self.cmodel.apply({"params": params}, y_keys, z_sym, q,
-                                         (rn_idx, rn_ok),
+                                         (rn_idx, rn_ok), z_caps, hs_caps,
                                          method=self.cmodel.decode_params_device)
             return jax.jit(fn)
-        return self._jit(("params", ycap, zcap), build)
+        return self._jit(("params", ycap, z_caps, hs_caps), build)
 
     def _symbols_graph(self, ycap):
         def build():
@@ -263,21 +295,18 @@ class Codec:
         keys_host, feats_host = self._t("enc.voxelize", voxelize_host_np,
                                         batch, local, colors, cap)
 
+        # exact host downsample chain: level key sets s2..s32 (microseconds)
+        # size every device pyramid tightly and replace device count syncs
+        lvl_keys = self._t("enc.host_counts", _host_downsample_levels,
+                           keys_host, 5)
+        ga_caps4 = tuple(_bucket(len(k)) for k in lvl_keys[:4])
         # host-computed root neighbor maps (device dependent-gather searches
-        # cost seconds at these caps; numpy does them in microseconds)
-        from ..models.entropy.hyperprior import MeanScaleHyperprior
-        zf = self.model.config["entropy_model"].get(
-            "cap_factors", MeanScaleHyperprior.cap_factors)
-        ga_factors = self.model.config["g_a"].get("cap_factors",
-                                                  (0.5, 0.25, 0.125))
-        floor = min(cap, 8192)
-        ga_caps = [max(int(f * cap), floor) for f in ga_factors]
-        ga_root_cap = ga_caps[2]
+        # cost seconds at these caps; numpy does them in microseconds);
         # per-level caps must mirror AnalysisTransform's pyramid exactly
         # (levels: s2, s4, s8, s16-root)
         _, ga_rn_idx, ga_rn_ok = self._t(
-            "enc.host_root", F.host_root_neighbors, keys_host, 4, ga_root_cap,
-            ga_caps + [ga_caps[2]])
+            "enc.host_root", F.host_root_neighbors, keys_host, 4, ga_caps4[3],
+            list(ga_caps4))
 
         key_mask = (1 << C.BATCH_SHIFT) - 1
         sent = np.iinfo(np.int64).max
@@ -288,29 +317,29 @@ class Codec:
                               ).astype(np.int32)
         colors_u8 = np.clip(np.round(feats_host * 255.0), 0, 255
                             ).astype(np.uint8)
-        enc = self._t("enc.analyze", self._analyze(cap), params,
+        enc = self._t("enc.analyze", self._analyze(cap, ga_caps4), params,
                       self._dev(batch_u8, device), self._dev(morton_i32, device),
                       self._dev(colors_u8, device),
                       self._dev(ga_rn_idx, device), self._dev(ga_rn_ok, device))
 
-        # re-bucket y to the decoder's capacity (bucket of the true count);
-        # device-side slice/pad — only the scalar count crosses the tunnel
-        n_y = int(self._t("enc.count_y", lambda: jnp.sum(
-            enc["y_keys"] != jnp.iinfo(jnp.int64).max)))
+        # y is the exact s8 downsample of the input keys, so its count and
+        # key array are known on the host already — no device count sync, no
+        # re-bucket (the decoder sizes its bucket from the same counts)
+        n_y = len(lvl_keys[2])
         ycap = _bucket(n_y)
-        y_keys, y_feats = self._rebucket(int(enc["y_keys"].shape[0]), ycap)(
-            enc["y_keys"], enc["y_feats"])
-        y_keys_np = np.asarray(y_keys)
+        assert ycap == ga_caps4[2]
+        y_keys, y_feats = enc["y_keys"], enc["y_feats"]
+        y_keys_np = np.full(ycap, sent, np.int64)
+        y_keys_np[:n_y] = lvl_keys[2]
 
-        z_root_cap = int(zf[1] * ycap)
+        z_caps, hs_caps = _z_hs_caps(len(lvl_keys[3]), len(lvl_keys[4]))
         _, z_rn_idx, z_rn_ok = self._t(
-            "enc.host_root_z", F.host_root_neighbors, y_keys_np, 2, z_root_cap,
-            [int(zf[0] * ycap), z_root_cap])
+            "enc.host_root_z", F.host_root_neighbors, y_keys_np, 2, z_caps[1],
+            list(z_caps))
         z_rn = (self._dev(z_rn_idx, device), self._dev(z_rn_ok, device))
-        hyp = self._t("enc.hyper", self._hyper_analyze(ycap), params,
+        hyp = self._t("enc.hyper", self._hyper_analyze(ycap, z_caps), params,
                       y_keys, y_feats, *z_rn)
-        z_keys = hyp["z_keys"]
-        dec = self._t("enc.params", self._params_graph(ycap, int(z_keys.shape[0])),
+        dec = self._t("enc.params", self._params_graph(ycap, z_caps, hs_caps),
                       params, y_keys, hyp["z_sym"], qv, *z_rn)
         y_sym = self._t("enc.symbols", self._symbols_graph(ycap),
                         params, y_feats, dec)
@@ -321,10 +350,9 @@ class Codec:
         ny_b = np.bincount(y_batches, minlength=g)[:g]
         y_ofs = np.concatenate([[0], np.cumsum(ny_b)])
 
-        z_keys_np = np.asarray(z_keys)
-        zv = z_keys_np != sent
-        n_z = int(zv.sum())
-        z_batches = (z_keys_np[zv] >> C.BATCH_SHIFT).astype(np.int32)
+        # z keys are the exact s32 downsample — host array, no device fetch
+        n_z = len(lvl_keys[4])
+        z_batches = (lvl_keys[4] >> C.BATCH_SHIFT).astype(np.int32)
         nz_b = np.bincount(z_batches, minlength=g)[:g]
         z_ofs = np.concatenate([[0], np.cumsum(nz_b)])
 
@@ -423,10 +451,16 @@ class Codec:
                            b["z_bytes"], z_idx, zt["cdf"], zt["cdf_length"],
                            zt["offset"])
             z_rows.append(vals.reshape(b["n_z"], zch))
-        from ..models.entropy.hyperprior import MeanScaleHyperprior
-        zf = self.model.config["entropy_model"].get(
-            "cap_factors", MeanScaleHyperprior.cap_factors)
-        zcap = int(zf[1] * ycap)
+        # z/h_s capacities from the y key set — the encoder derived the same
+        # values from the same downsample chain, so the shared params graph
+        # is bit-identical on both sides
+        lvl = _host_downsample_levels(y_keys_np, 2)
+        if len(lvl[1]) != sum(b["n_z"] for b in blks):
+            raise ValueError(
+                f"bitstream z-count mismatch: derived {len(lvl[1])} from the "
+                f"coordinates, container says {sum(b['n_z'] for b in blks)}")
+        z_caps, hs_caps = _z_hs_caps(len(lvl[0]), len(lvl[1]))
+        zcap = z_caps[1]
         # int16 uploads match the device graphs' symbol format (the values
         # are the encoder's int16-clipped symbols by construction)
         z_sym = np.zeros((zcap, zch), np.int16)
@@ -437,8 +471,8 @@ class Codec:
                        device)
         _, z_rn_idx, z_rn_ok = self._t(
             "dec.host_root", F.host_root_neighbors, y_keys_np, 2, zcap,
-            [int(zf[0] * ycap), zcap])
-        dec = self._t("dec.params", self._params_graph(ycap, zcap),
+            list(z_caps))
+        dec = self._t("dec.params", self._params_graph(ycap, z_caps, hs_caps),
                       params, y_keys, self._dev(z_sym, device), qv,
                       self._dev(z_rn_idx, device), self._dev(z_rn_ok, device))
 

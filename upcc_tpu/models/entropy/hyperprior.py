@@ -73,10 +73,16 @@ class MeanScaleHyperprior(nn.Module):
         mid = downsample_keys(y_keys, cap0)
         return downsample_keys(mid, cap1)
 
-    def _pyramid(self, y_keys, root_nbr=None):
-        """y(stride8) -> stride16 -> stride32(z) pyramid, one root search."""
-        cap0 = int(self.cap_factors[0] * y_keys.shape[0])
-        cap1 = int(self.cap_factors[1] * y_keys.shape[0])
+    def _pyramid(self, y_keys, root_nbr=None, z_caps=None):
+        """y(stride8) -> stride16 -> stride32(z) pyramid, one root search.
+
+        z_caps: optional static (s16, s32) capacities — the codec passes
+        exact host-counted buckets (see AnalysisTransform.level_caps)."""
+        if z_caps is not None:
+            cap0, cap1 = z_caps
+        else:
+            cap0 = int(self.cap_factors[0] * y_keys.shape[0])
+            cap1 = int(self.cap_factors[1] * y_keys.shape[0])
         return F.pyramid(y_keys, [cap0, cap1], skip_finest_nbr=True,
                          root_nbr=root_nbr)
 
@@ -99,8 +105,14 @@ class MeanScaleHyperprior(nn.Module):
         return SparseTensor(keys=levels[2]["keys"], feats=f2,
                             stride=z1.stride * 2)
 
-    def h_s_params_at(self, z_hat: SparseTensor, y_keys, levels=None):
+    def h_s_params_at(self, z_hat: SparseTensor, y_keys, levels=None,
+                      hs_caps=None):
         """Gaussian params (scales, means) evaluated at the y coordinates.
+
+        hs_caps: optional static (t1, t2) child-expansion capacities.  The
+        fractional defaults truncate t2 at production scale (64*n_z can
+        exceed 4*ycap), zeroing the Gaussian params of tail y rows on both
+        sides — exact host-counted caps avoid that and stay tight.
 
         All coordinate structure derives from the y->z pyramid: T1/T2 are
         truncated child expansions with trivial parent links, and the cross
@@ -108,8 +120,11 @@ class MeanScaleHyperprior(nn.Module):
         z-level self map (both stride-16 sets are children of z) — no
         binary search anywhere in h_s."""
         levels = levels or self._pyramid(y_keys)
-        cap_mid = int(self.cap_factors[2] * y_keys.shape[0])
-        cap_top = int(self.cap_factors[3] * y_keys.shape[0])
+        if hs_caps is not None:
+            cap_mid, cap_top = hs_caps
+        else:
+            cap_mid = int(self.cap_factors[2] * y_keys.shape[0])
+            cap_top = int(self.cap_factors[3] * y_keys.shape[0])
         z_keys = z_hat.keys
         nbr_z = levels[2]["nbr"]
 
@@ -234,12 +249,14 @@ class MeanScaleHyperprior(nn.Module):
         return {"z_keys": z.keys, "z_sym": z_sym}
 
     def decode_params_device(self, y_keys, z_sym, q, z_keys=None,
-                             root_nbr=None):
+                             root_nbr=None, z_caps=None, hs_caps=None):
         """Decoder graph after z symbols are entropy-decoded: derive the z
         coordinates from the y coordinates, reconstruct z_hat, run h_s, and
         return everything needed to decode/dequantize y.  The encoder runs
-        this exact graph too (bit-identical parameters on both sides)."""
-        levels = self._pyramid(y_keys, root_nbr=root_nbr)
+        this exact graph too (bit-identical parameters on both sides);
+        z_caps/hs_caps must therefore be derived identically on both sides
+        (the codec computes them from the y key set + transmitted n_z)."""
+        levels = self._pyramid(y_keys, root_nbr=root_nbr, z_caps=z_caps)
         if z_keys is None:
             z_keys = levels[2]["keys"]
         med = self.bottleneck.medians()
@@ -248,7 +265,8 @@ class MeanScaleHyperprior(nn.Module):
                              feats=(z_sym.astype(jnp.float32) + med[None, :])
                              * z_valid[:, None],
                              stride=32)
-        scales_hat, means_hat = self.h_s_params_at(z_hat, y_keys, levels)
+        scales_hat, means_hat = self.h_s_params_at(z_hat, y_keys, levels,
+                                                   hs_caps=hs_caps)
         y_valid = y_keys != jnp.iinfo(jnp.int64).max
         y_batch = (y_keys >> coords.BATCH_SHIFT).astype(jnp.int32)
         scale, rescale = self.gains(q, y_batch, y_valid)

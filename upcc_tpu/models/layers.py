@@ -30,10 +30,19 @@ class FamilyConv(nn.Module):
 
     @nn.compact
     def __call__(self, fm, feats, valid, out_fm=None, out_keys_valid=None,
-                 nbr_cross=None):
+                 nbr_cross=None, grand=False):
         k = self.kernel_size ** 3
         w = self.param("w", _winit(k, self.cin), (k, self.cin, self.cout),
                        jnp.float32)
+        if grand:
+            # grandparent-brick mode: fm = G self-neighbor map, feats =
+            # [G, 64, cin] grandchild brick, valid = [G, 64] slot mask
+            out = F.grand_apply(fm, feats, w, self.kernel_size, "conv")
+            if self.use_bias:
+                b = self.param("b", nn.initializers.zeros, (self.cout,),
+                               jnp.float32)
+                out = out + b
+            return out * valid[..., None].astype(out.dtype)
         out = F.family_conv(fm, feats, valid, w, self.kernel_size,
                             out_fm=out_fm, out_keys_valid=out_keys_valid,
                             nbr_cross=nbr_cross)
@@ -73,10 +82,22 @@ class FamilyTransposeUp(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, nbr_self, feats, valid):
+    def __call__(self, nbr_self, feats, valid, grand=False):
         k = self.kernel_size ** 3
         w = self.param("w", _winit(k, self.cin), (k, self.cin, self.cout),
                        jnp.float32)
+        if grand:
+            # grandparent-brick mode: nbr_self = G self map, feats =
+            # [G, 8, cin] child brick of G, valid = [G, 64] candidate mask.
+            # Non-candidate slots must come out ZERO (downstream grand convs
+            # gather whole G rows), hence the mask after the bias.
+            out = F.grand_apply(nbr_self, feats, w, self.kernel_size,
+                                "transpose")
+            if self.use_bias:
+                b = self.param("b", nn.initializers.zeros, (self.cout,),
+                               jnp.float32)
+                out = out + b
+            return out * valid[..., None].astype(out.dtype)
         out = F.family_transpose_up(nbr_self, feats, valid, w,
                                     self.kernel_size)
         if self.use_bias:

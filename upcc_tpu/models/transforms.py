@@ -50,20 +50,30 @@ class AnalysisTransform(nn.Module):
     cap_factors: Sequence[float] = (0.5, 0.25, 0.125)
 
     @nn.compact
-    def __call__(self, x: SparseTensor, root_nbr=None):
+    def __call__(self, x: SparseTensor, root_nbr=None, level_caps=None):
         """Returns (y at stride 8, k int32[3, max_batch] per-level counts).
 
         The whole analysis stack shares one octree pyramid: level sets and
         parent links come from stable compactions, neighbor maps derive
         top-down from a single binary search at the stride-16 root
-        (ops/family.py pyramid)."""
-        # fractional caps with a floor: economy at production scale without
-        # clipping small multi-block groups (downsampling may barely shrink
-        # tiny or scattered inputs)
-        floor = min(x.capacity, 8192)
-        caps = [max(int(f * x.capacity), floor) for f in self.cap_factors]
+        (ops/family.py pyramid).
+
+        level_caps: optional static (s2, s4, s8, s16) capacities.  The codec
+        computes the *exact* per-level counts on the host (numpy downsample
+        is microseconds) and passes tight power-of-two buckets — surfaces
+        shrink ~4x per level, so the worst-case fractional caps below waste
+        4-10x conv work at production scale."""
+        if level_caps is not None:
+            caps4 = list(level_caps)
+        else:
+            # fractional caps with a floor: economy at production scale
+            # without clipping small multi-block groups (downsampling may
+            # barely shrink tiny or scattered inputs)
+            floor = min(x.capacity, 8192)
+            caps = [max(int(f * x.capacity), floor) for f in self.cap_factors]
+            caps4 = caps + [caps[2]]
         # levels: 0=input(stride1), 1=s2, 2=s4, 3=s8 (y), 4=s16 (root)
-        levels = F.pyramid(x.keys, caps + [caps[2]], skip_finest_nbr=True,
+        levels = F.pyramid(x.keys, caps4, skip_finest_nbr=True,
                            root_nbr=root_nbr)
         k2 = x.counts_per_batch(self.max_batch)
 
@@ -106,13 +116,15 @@ class OccupancyHead(nn.Module):
     chid: int
 
     @nn.compact
-    def __call__(self, fm: F.FamilyMap, feats, valid):
+    def __call__(self, fm: F.FamilyMap, feats, valid, grand=False):
         h = FamilyConv(self.cin, self.chid, 3, name="c1")(
-            fm, feats, valid, out_keys_valid=valid)
+            fm, feats, valid, out_keys_valid=None if grand else valid,
+            grand=grand)
         h = nn.relu(h)
         h = FamilyConv(self.chid, 1, 3, name="c2")(
-            fm, h, valid, out_keys_valid=valid)
-        return h[:, 0]
+            fm, h, valid, out_keys_valid=None if grand else valid,
+            grand=grand)
+        return h[..., 0]
 
 
 class SparseSynthesisTransform(nn.Module):
@@ -134,6 +146,13 @@ class SparseSynthesisTransform(nn.Module):
     # one binary search per level.
     region_candidates: bool = False
     region_dilate_factor: float = 3.0
+    # Finest level in grandparent-brick layout (ops/family.grand_apply):
+    # the transpose + occupancy head gather 27 rows of the stride-4 set
+    # instead of 27 rows of the stride-2 set — ~4x fewer gather ops where
+    # the candidate count peaks.  Channels are small there (N1 -> N1/4 ->
+    # N4/8 -> 1), so the denser slot-pair tap matrices stay MXU-friendly.
+    # Same parameters, same candidate set; float-accumulation order differs.
+    grand_finest: bool = True
 
     @nn.compact
     def __call__(self, y: SparseTensor, k, prune_caps=None, y_struct=None,
@@ -184,10 +203,53 @@ class SparseSynthesisTransform(nn.Module):
             (self.N1, self.N1 // 4, "up3_t", self.N1 // 4, self.N4 // 8, "pred3"),
         ]
         import jax
+        prev_link = None
         for lvl, (cin, cout, tname, pcin, pchid, pname) in enumerate(specs):
             if lvl >= num_levels:
                 break
             parent_keys = x.keys
+            if lvl == 2 and self.grand_finest and not self.region_candidates \
+                    and prev_link is not None:
+                gpar, gslot, g_nbr, gcap, xvalid = prev_link
+                n_parents = parent_keys.shape[0]
+                child_keys = upsample_children_keys(parent_keys)
+                cvalid = C.key_is_valid(child_keys)
+                # pack x (stride 2) into its grandparent brick [Gcap, 8, cin]
+                fdt = x.feats.dtype
+                xb = jnp.zeros((gcap + 1, 8, cin), fdt)
+                xb = xb.at[gpar, gslot].set(
+                    x.feats * xvalid[:, None].astype(fdt),
+                    mode="drop", unique_indices=True)[:gcap]
+                vb = jnp.zeros((gcap + 1, 8), jnp.bool_)
+                vb = vb.at[gpar, gslot].set(xvalid, mode="drop",
+                                            unique_indices=True)[:gcap]
+                cvb = jnp.broadcast_to(vb[:, :, None], (gcap, 8, 8)
+                                       ).reshape(gcap, 64)
+                with jax.named_scope(f"gs_transpose_l{lvl}"):
+                    cg = FamilyTransposeUp(cin, cout, 5, name=tname)(
+                        g_nbr, xb, cvb, grand=True)  # [G, 64, cout]
+                with jax.named_scope(f"gs_head_l{lvl}"):
+                    lgrand = OccupancyHead(pcin, pchid, name=pname)(
+                        g_nbr, cg, cvb, grand=True)  # [G, 64]
+                # flatten to flat candidate order (8 children per x row)
+                rows = jnp.minimum(gpar, gcap - 1) * 8 + gslot
+                cf8 = cg.reshape(gcap * 8, 8, cout)[rows]  # [|x|, 8, cout]
+                cfeats = (cf8 * xvalid[:, None, None].astype(cf8.dtype)
+                          ).reshape(8 * n_parents, cout)
+                logits = (lgrand.reshape(gcap * 8, 8)[rows]
+                          * xvalid[:, None]).reshape(8 * n_parents)
+                cand = SparseTensor(keys=jnp.where(cvalid, child_keys,
+                                                   C.SENTINEL),
+                                    feats=cfeats, stride=x.stride // 2)
+                cands.append(cand)
+                logits_list.append(logits)
+                with jax.named_scope(f"gs_topk_l{lvl}"):
+                    keep = topk_mask(cand, logits, k[lvl]) & cvalid
+                with jax.named_scope(f"gs_prune_l{lvl}"):
+                    pk, pf = compact(child_keys, keep, cand.feats,
+                                     out_capacity=caps[lvl])[:2]
+                x = SparseTensor(keys=pk, feats=pf, stride=x.stride // 2)
+                continue
             if self.region_candidates:
                 # reference semantics: candidates = every child position the
                 # kernel-5 transpose reaches = covered children of the
@@ -232,9 +294,17 @@ class SparseSynthesisTransform(nn.Module):
                 ppar = jnp.where(pvalid, ppar, n_parents)
             x = SparseTensor(keys=pk, feats=pf, stride=x.stride // 2)
             if lvl < 2:
-                with jax.named_scope(f"gs_derive_l{lvl}"):
-                    nbr = F.derive_self_neighbors(pk, ppar, pslot,
-                                                  parent_nbr_next)
+                grand_next = (lvl == 1 and self.grand_finest
+                              and not self.region_candidates)
+                if grand_next:
+                    # level 2 runs in grandparent-brick layout: it needs the
+                    # parent links + the stride-4 self map, not x's own map
+                    prev_link = (ppar, pslot, parent_nbr_next, n_parents,
+                                 pvalid)
+                else:
+                    with jax.named_scope(f"gs_derive_l{lvl}"):
+                        nbr = F.derive_self_neighbors(pk, ppar, pslot,
+                                                      parent_nbr_next)
                 x = x.replace(feats=GDN(cout, inverse=True,
                                         name=f"igdn{lvl + 2}")(x.feats))
 

@@ -118,9 +118,12 @@ class UnifiedModel(nn.Module):
         enc["y_keys"] = y.keys
         return enc
 
-    def decode_params_device(self, y_keys, z_sym, q, root_nbr=None):
+    def decode_params_device(self, y_keys, z_sym, q, root_nbr=None,
+                             z_caps=None, hs_caps=None):
         return self.entropy_model.decode_params_device(y_keys, z_sym, q,
-                                                       root_nbr=root_nbr)
+                                                       root_nbr=root_nbr,
+                                                       z_caps=z_caps,
+                                                       hs_caps=hs_caps)
 
     def decode_reconstruct_device(self, y_keys, y_sym, dec, k, prune_caps=None,
                                   num_levels=3):
@@ -137,13 +140,14 @@ class UnifiedModel(nn.Module):
         x_hat, _, _ = self.g_s(y_hat, k, prune_caps=prune_caps)
         return x_hat
 
-    def ga_device(self, x: SparseTensor, root_nbr=None):
+    def ga_device(self, x: SparseTensor, root_nbr=None, level_caps=None):
         """Encoder front: analysis transform only."""
         xin = occupancy_color_features(x)
-        y, k = self.g_a(xin, root_nbr=root_nbr)
+        y, k = self.g_a(xin, root_nbr=root_nbr, level_caps=level_caps)
         return {"y_keys": y.keys, "y_feats": y.feats, "k": k}
 
-    def hyper_analyze_device(self, y_keys, y_feats, root_nbr=None):
+    def hyper_analyze_device(self, y_keys, y_feats, root_nbr=None,
+                             z_caps=None):
         """h_a + z rounding, run on the decoder's y capacity bucket so the
         z key set (including any capacity clipping) is identical on both
         sides.  The Gaussian-parameter half then runs through the decoder's
@@ -153,7 +157,8 @@ class UnifiedModel(nn.Module):
         simulation (/root/reference/model/entropy_models.py:372)."""
         y = SparseTensor(keys=y_keys, feats=y_feats, stride=8)
         z = self.entropy_model.h_a(
-            y, self.entropy_model._pyramid(y_keys, root_nbr=root_nbr))
+            y, self.entropy_model._pyramid(y_keys, root_nbr=root_nbr,
+                                           z_caps=z_caps))
         med = self.entropy_model.bottleneck.medians()
         # int16 symbols: halves the (33 MB/s relay) tunnel fetch; symbols
         # are residuals bounded far below 2^15, and the clip is applied on
