@@ -161,3 +161,32 @@ def test_random_rotate_behavior():
     x3, c3 = tr2(xyz, rgbu)
     hits = np.where((c3 == [1.0, 0.0, 0.0]).all(1))[0]
     assert len(hits) >= 1
+
+
+def test_raw_loader_real_ply(tmp_path):
+    """RawLoader end-to-end against a real PLY file on disk (binary and
+    ascii), through the committed loading-config schema."""
+    import yaml
+    from upcc_tpu.data.dataset import RawLoader
+    from upcc_tpu.data.ply import write_ply
+    rng = np.random.default_rng(5)
+    xyz = rng.integers(0, 1024, (500, 3)).astype(np.float64)
+    rgb = rng.integers(0, 256, (500, 3)).astype(np.float32) / 255.0
+    d = tmp_path / "seqA" / "seqA" / "Ply"
+    d.mkdir(parents=True)
+    write_ply(str(d / "seqA_vox10_0012.ply"), xyz, rgb)
+    write_ply(str(d / "seqA_vox10_0013.ply"), xyz, rgb, ascii=True)
+    cfg = {"base_path": str(tmp_path), "datasets": {"test8i": {
+        "path_template": "{sequence}/{sequence}/Ply/{sequence}_vox10_{frame:04d}.ply",
+        "sequences": {"seqA": {"start": 12, "end": 13}}}}}
+    cfg_path = tmp_path / "loading.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    rl = RawLoader(str(cfg_path))
+    for frame in (12, 13):
+        x2, c2 = rl.get_pointcloud("seqA", frame)
+        np.testing.assert_allclose(x2, xyz)
+        np.testing.assert_allclose(c2, rgb, atol=1.5e-2)
+    # committed parity config parses and resolves paths
+    rl2 = RawLoader("data/config/raw_loading.yaml")
+    p = rl2.path_for("loot", 1000)
+    assert p.endswith("loot/loot/Ply/loot_vox10_1000.ply")

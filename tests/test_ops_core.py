@@ -293,3 +293,27 @@ def test_compact_gather_semantics():
         assert np.all(np.asarray(f2)[len(kk):] == 0)
         np.testing.assert_array_equal(np.asarray(a2)[:len(kk)], aux[keep][:m])
         assert np.all(np.asarray(a2)[len(kk):] == 0)
+
+
+def test_host_downsample_levels_match_device():
+    """The codec's host downsample chain (exact-cap sizing) must be
+    bit-identical to the device downsample_keys chain."""
+    from upcc_tpu.codec.codec import _host_downsample_levels
+    from upcc_tpu.ops import coords as C
+    from upcc_tpu.ops.sparse import downsample_keys
+    rng = np.random.default_rng(21)
+    units = rng.integers(0, 64, (4000, 3)).astype(np.int64)
+    batch = rng.integers(0, 3, 4000).astype(np.int64)
+    keys = np.unique((batch << C.BATCH_SHIFT)
+                     | np.asarray(C.morton_encode_np(units)))
+    cap = 4096
+    arr = np.full(cap, np.iinfo(np.int64).max, np.int64)
+    arr[:len(keys)] = keys
+    host = _host_downsample_levels(arr, 3)
+    dk = jnp.asarray(arr)
+    for lvl in host:
+        dk = jax.jit(downsample_keys, static_argnames="capacity")(
+            dk, capacity=cap)
+        got = np.asarray(dk)
+        got = got[got != np.iinfo(np.int64).max]
+        np.testing.assert_array_equal(got, lvl)
