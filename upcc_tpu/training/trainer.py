@@ -86,8 +86,13 @@ class Training:
             # (padded work scales ~linearly with capacity)
             if self.train_ds is not None and len(self.train_ds):
                 counts = np.diff(self.train_ds.offsets)[self.train_ds.indices]
-                top = np.sort(counts)[-self.batch_size:]
-                need = int(top.sum() * 1.1)
+                # the greedy packer takes at most batch_size cubes, so the
+                # typical batch fills ~batch_size*mean points — sizing for
+                # the worst-case batch (batch_size *largest* cubes together)
+                # made >90% of every step padding.  Cover any single cube
+                # (nothing is ever dropped) plus a typical batch with slack.
+                need = int(max(1.1 * counts.max(),
+                               1.3 * self.batch_size * counts.mean()))
                 self.capacity = max(1024, 1 << int(np.ceil(np.log2(need))))
             else:
                 self.capacity = 65536
@@ -218,7 +223,10 @@ class Training:
         codec.update()
         render_dir = os.path.join(self.results_dir, "renders_val")
         rows = []
-        n_val = min(len(self.val_ds), 2) if self.val_ds else 0
+        max_items = self.config.get("val_max_items", None)
+        n_val = len(self.val_ds) if self.val_ds else 0
+        if max_items is not None:
+            n_val = min(n_val, int(max_items))
         for i in range(n_val):
             xyz, rgb = self.val_ds[i]
             pc = np.concatenate([xyz.astype(np.float32), rgb], axis=1)
