@@ -62,9 +62,10 @@ def main():
     out = codec.decompress(data)
     assert out.shape[0] > 0
 
-    # steady-state: 7 reps, median of the fastest 5 (the device tunnel has
-    # ~2x run-to-run variance; slow outliers are tunnel stalls, not codec)
-    reps = 7
+    # steady-state: 9 reps, median of the fastest 5 (the device tunnel has
+    # ~2x run-to-run variance; slow outliers are tunnel stalls, not codec —
+    # whole runs measured 3.48 s/frame and 5.1 s/frame minutes apart)
+    reps = 9
     times = []
     for _ in range(reps):
         t0 = time.time()
