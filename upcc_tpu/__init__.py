@@ -29,9 +29,26 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the codec compiles one graph per capacity
-# bucket; cache them across processes.
+# bucket; cache them across processes.  The dir is keyed by a machine
+# signature: XLA:CPU AOT results bake in host ISA features, and loading a
+# cache written on a different microarchitecture can SIGILL.
+def _machine_tag():
+    import hashlib
+    sig = jax.__version__
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    sig += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(sig.encode()).hexdigest()[:10]
+
+
 _cache_dir = os.environ.get("UPCC_COMPILATION_CACHE",
-                            os.path.expanduser("~/.cache/upcc_tpu_xla"))
+                            os.path.expanduser("~/.cache/upcc_tpu_xla-"
+                                               + _machine_tag()))
 if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
