@@ -76,6 +76,69 @@ def test_dp_matches_single_device():
                                rtol=2e-4)
 
 
+def test_sharded_2d_matches_1x1_mesh():
+    """The jit+NamedSharding (data x model) step is placement-only: running
+    the same step on a 4x2 mesh and on a 1x1 mesh must give the same loss
+    and the same updated parameters (up to collective reduction order)."""
+    from upcc_tpu.data.synthetic import batch_of_cubes
+    from upcc_tpu.models.unified import UnifiedModel
+    from upcc_tpu.ops.sparse import from_points_host, SparseTensor
+    from upcc_tpu.parallel.model_parallel import (make_mesh_2d,
+                                                  make_sharded_train_step,
+                                                  shard_inputs, shard_state)
+    from upcc_tpu.training.loss import Loss
+    from upcc_tpu.training.train_step import TrainState, make_optimizer
+
+    cfg = {"max_batch": 1,
+           "g_a": {"C_in": 4, "N1": 8, "N2": 8, "N3": 8, "N4": 8},
+           "g_s": {"C_out": 3, "N1": 8, "N2": 8, "N3": 8, "N4": 8},
+           "entropy_model": {"C_bottleneck": 8, "C_hyper_bottleneck": 12,
+                             "quantization_mode": "ste",
+                             "inverse_rescaling": True,
+                             "quantization_offset": True}}
+    model = UnifiedModel(cfg)
+    loss_obj = Loss({"color": {"type": "ColorLoss", "loss": "L2"},
+                     "bpp-y": {"type": "BPPLoss", "key": "y", "weight": 1.0}},
+                    max_batch=1)
+
+    cap = 512
+    keys, feats = [], []
+    for d in range(4):
+        b, x, c = batch_of_cubes(np.random.default_rng(d), 1, extent=16,
+                                 n_per=150, capacity=cap)
+        st = from_points_host(b, x, c, capacity=cap)
+        keys.append(st.keys)
+        feats.append(st.feats)
+    keys = jnp.stack(keys)
+    feats = jnp.stack(feats)
+    q = jnp.full((4, 1, 2), 0.5, jnp.float32)
+    lam = jnp.full((4, 1, 2), 2.0, jnp.float32)
+    rngs = jnp.stack([jax.random.PRNGKey(7)] * 4)
+
+    st0 = SparseTensor(keys=keys[0], feats=feats[0], stride=1)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0),
+                                  "noise": jax.random.PRNGKey(1)},
+                                 st0, q[0], lam[0])["params"]
+    opt = make_optimizer({"model_learning_rate": 1e-4,
+                          "bottleneck_learning_rate": 1e-3})
+
+    def run(mesh):
+        state = shard_state(mesh, TrainState(params, opt.init(params),
+                                             jnp.zeros((), jnp.int32)))
+        step = make_sharded_train_step(model, loss_obj, opt)
+        args = shard_inputs(mesh, keys, feats, q, lam, rngs)
+        new_state, metrics = step(state, *args)
+        return jax.device_get(new_state.params), float(metrics["loss"])
+
+    p_2d, loss_2d = run(make_mesh_2d(4, 2))
+    p_ref, loss_ref = run(make_mesh_2d(1, 1, devices=jax.devices()[:1]))
+    np.testing.assert_allclose(loss_2d, loss_ref, rtol=1e-5)
+    flat_2d = jax.tree_util.tree_leaves(p_2d)
+    flat_ref = jax.tree_util.tree_leaves(p_ref)
+    for a, b in zip(flat_2d, flat_ref):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_block_parallel_bitstream_equality(monkeypatch):
     """Block-parallel inference (groups dispatched concurrently over the
     8-device CPU mesh) must produce the byte-identical bitstream and the
