@@ -178,3 +178,29 @@ def test_gs_grand_finest_matches_flat(model_and_params):
     np.testing.assert_array_equal(np.asarray(gk), np.asarray(fk))
     np.testing.assert_allclose(np.asarray(gf), np.asarray(ff),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv_remat_matches_plain_grads(model_and_params):
+    """jax.checkpoint on the brick convs must not change the loss or the
+    gradients — it only drops residuals and recomputes in the backward."""
+    from upcc_tpu.ops import family as F
+
+    model, params, x, q, lam = model_and_params
+    loss_obj = Loss(LOSS_CFG, max_batch=2)
+
+    def loss_fn(params, remat):
+        with F.conv_remat(remat):
+            out = model.apply({"params": params}, x, q, lam, training=True,
+                              rngs={"noise": jax.random.PRNGKey(3)})
+        main, _ = loss_obj(x, out)
+        return main
+
+    v0, g0 = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p, False)))(params)
+    v1, g1 = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p, True)))(params)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)

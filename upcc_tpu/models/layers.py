@@ -37,15 +37,14 @@ class FamilyConv(nn.Module):
         if grand:
             # grandparent-brick mode: fm = G self-neighbor map, feats =
             # [G, 64, cin] grandchild brick, valid = [G, 64] slot mask
-            out = F.grand_apply(fm, feats, w, self.kernel_size, "conv")
+            out = F.conv_fns()[3](fm, feats, w, self.kernel_size, "conv")
             if self.use_bias:
                 b = self.param("b", nn.initializers.zeros, (self.cout,),
                                jnp.float32)
                 out = out + b
             return out * valid[..., None].astype(out.dtype)
-        out = F.family_conv(fm, feats, valid, w, self.kernel_size,
-                            out_fm=out_fm, out_keys_valid=out_keys_valid,
-                            nbr_cross=nbr_cross)
+        out = F.conv_fns()[0](fm, feats, valid, w, self.kernel_size,
+                              out_fm, out_keys_valid, nbr_cross)
         if self.use_bias:
             b = self.param("b", nn.initializers.zeros, (self.cout,), jnp.float32)
             ov = out_keys_valid if out_keys_valid is not None else valid
@@ -66,7 +65,7 @@ class FamilyDownConv(nn.Module):
         k = self.kernel_size ** 3
         w = self.param("w", _winit(k, self.cin), (k, self.cin, self.cout),
                        jnp.float32)
-        out = F.family_down_conv(fm, feats, valid, w, self.kernel_size)
+        out = F.conv_fns()[2](fm, feats, valid, w, self.kernel_size)
         if self.use_bias:
             b = self.param("b", nn.initializers.zeros, (self.cout,), jnp.float32)
             out = (out + b) * C.key_is_valid(fm.parent_keys)[:, None].astype(out.dtype)
@@ -91,15 +90,15 @@ class FamilyTransposeUp(nn.Module):
             # [G, 8, cin] child brick of G, valid = [G, 64] candidate mask.
             # Non-candidate slots must come out ZERO (downstream grand convs
             # gather whole G rows), hence the mask after the bias.
-            out = F.grand_apply(nbr_self, feats, w, self.kernel_size,
-                                "transpose")
+            out = F.conv_fns()[3](nbr_self, feats, w, self.kernel_size,
+                                  "transpose")
             if self.use_bias:
                 b = self.param("b", nn.initializers.zeros, (self.cout,),
                                jnp.float32)
                 out = out + b
             return out * valid[..., None].astype(out.dtype)
-        out = F.family_transpose_up(nbr_self, feats, valid, w,
-                                    self.kernel_size)
+        out = F.conv_fns()[1](nbr_self, feats, valid, w,
+                              self.kernel_size)
         if self.use_bias:
             b = self.param("b", nn.initializers.zeros, (self.cout,), jnp.float32)
             # output rows follow the nbr map's rows (a cross map in

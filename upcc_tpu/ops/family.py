@@ -635,3 +635,56 @@ def family_down_conv(fm_in: FamilyMap, in_feats, in_valid, weights,
                           unroll=9)
     acc = acc * C.key_is_valid(fm_in.parent_keys)[:, None].astype(acc.dtype)
     return acc
+
+
+# -- rematerialized conv variants for training ------------------------------
+#
+# Autodiff of the brick convs saves every one of the 27 gathered neighbor
+# blocks as a residual (the weight gradient needs them), which is the
+# dominant training-memory term: at flagship scale the g_s grand head conv
+# alone holds a [27, G, n_in*cin] residual of several GB (observed OOM:
+# bf16[3,9,32768,2048] = 3.4 GB for ONE layer).  jax.checkpoint drops the
+# residuals and recomputes the gathers in the backward pass — gathers are
+# HBM-bandwidth-cheap relative to holding them live across the whole step.
+#
+# The training drivers flip CONV_REMAT on before tracing their step
+# (trainer / dp / 2-D sharded steps); the codec's forward-only graphs never
+# differentiate, so they keep the plain variants and their lowering is
+# byte-identical to round-1.
+
+CONV_REMAT = False
+
+# static_argnums cover only arguments the layer call sites actually pass
+# positionally (kernel_size / mode); compute_dtype stays at its default
+family_conv_remat = jax.checkpoint(family_conv, static_argnums=(4,))
+family_transpose_up_remat = jax.checkpoint(family_transpose_up,
+                                           static_argnums=(4,))
+family_down_conv_remat = jax.checkpoint(family_down_conv,
+                                        static_argnums=(4,))
+grand_apply_remat = jax.checkpoint(grand_apply, static_argnums=(3, 4))
+
+
+def conv_fns():
+    """(family_conv, family_transpose_up, family_down_conv, grand_apply),
+    remat-wrapped when CONV_REMAT is set at trace time."""
+    if CONV_REMAT:
+        return (family_conv_remat, family_transpose_up_remat,
+                family_down_conv_remat, grand_apply_remat)
+    return family_conv, family_transpose_up, family_down_conv, grand_apply
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def conv_remat(enable=True):
+    """Trace-time scope: conv calls inside pick the remat variants.  Wrap
+    the body of a differentiated loss fn (executes during tracing), so only
+    training graphs remat — codec inference graphs stay untouched."""
+    global CONV_REMAT
+    old = CONV_REMAT
+    CONV_REMAT = enable
+    try:
+        yield
+    finally:
+        CONV_REMAT = old

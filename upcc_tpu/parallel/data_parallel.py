@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import family as F
 from ..ops.sparse import SparseTensor
 from ..training.train_step import TrainState
 
@@ -33,8 +34,9 @@ def make_dp_train_step(model, loss_obj, optimizer, mesh, aux_weight=1.0):
 
     def local_loss(params, keys, feats, q, lam, rng):
         x = SparseTensor(keys=keys, feats=feats, stride=1)
-        out = model.apply({"params": params}, x, q, lam, training=True,
-                          rngs={"noise": rng})
+        with F.conv_remat():
+            out = model.apply({"params": params}, x, q, lam, training=True,
+                              rngs={"noise": rng})
         main, parts = loss_obj(x, out)
         aux = model.apply({"params": params}, method=model.aux_loss)
         return main + aux_weight * aux, {**parts, "aux_loss": aux}

@@ -24,6 +24,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import family as F
 from ..ops.sparse import SparseTensor
 from ..training.train_step import TrainState
 
@@ -78,8 +79,9 @@ def make_sharded_train_step(model, loss_obj, optimizer, aux_weight=1.0):
 
     def local_loss(params, keys, feats, q, lam, rng):
         x = SparseTensor(keys=keys, feats=feats, stride=1)
-        out = model.apply({"params": params}, x, q, lam, training=True,
-                          rngs={"noise": rng})
+        with F.conv_remat():
+            out = model.apply({"params": params}, x, q, lam, training=True,
+                              rngs={"noise": rng})
         main, parts = loss_obj(x, out)
         aux = model.apply({"params": params}, method=model.aux_loss)
         return main + aux_weight * aux, {**parts, "aux_loss": aux}

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..ops import family as F
 from ..ops.sparse import SparseTensor
 
 
@@ -45,8 +46,9 @@ def make_train_step(model, loss_obj, optimizer, aux_weight=1.0):
     (state, x: SparseTensor, q, Lambda, rng) -> (state, metrics)."""
 
     def loss_fn(params, x, q, Lambda, rng, root_nbrs):
-        out = model.apply({"params": params}, x, q, Lambda, training=True,
-                          root_nbrs=root_nbrs, rngs={"noise": rng})
+        with F.conv_remat():
+            out = model.apply({"params": params}, x, q, Lambda, training=True,
+                              root_nbrs=root_nbrs, rngs={"noise": rng})
         main, parts = loss_obj(x, out)
         aux = model.apply({"params": params}, method=model.aux_loss)
         parts = dict(parts)
