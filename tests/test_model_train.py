@@ -204,3 +204,27 @@ def test_conv_remat_matches_plain_grads(model_and_params):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_ga_grand_input_matches_flat(model_and_params):
+    """The grandparent-brick input conv must reproduce the flat down-conv
+    path: same latents (up to fp accumulation order), same counts."""
+    _, params, x, q, lam = model_and_params
+    fcfg = {k: dict(v) if isinstance(v, dict) else v for k, v in CFG.items()}
+    fcfg["g_a"] = dict(CFG["g_a"], grand_input=False)
+    gcfg = {k: dict(v) if isinstance(v, dict) else v for k, v in CFG.items()}
+    gcfg["g_a"] = dict(CFG["g_a"], grand_input=True)
+
+    from upcc_tpu.models.unified import occupancy_color_features
+
+    def run(cfg):
+        m = UnifiedModel(cfg)
+        y, k = m.apply({"params": params}, occupancy_color_features(x),
+                       method=lambda mdl, xin: mdl.g_a(xin))
+        return y.keys, y.feats, k
+    fk, ff, fc = jax.jit(lambda: run(fcfg))()
+    gk, gf, gc = jax.jit(lambda: run(gcfg))()
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(fk))
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(fc))
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(ff),
+                               rtol=1e-4, atol=1e-4)

@@ -61,10 +61,22 @@ class FamilyDownConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, fm, feats, valid):
+    def __call__(self, fm, feats, valid, grand=False):
         k = self.kernel_size ** 3
         w = self.param("w", _winit(k, self.cin), (k, self.cin, self.cout),
                        jnp.float32)
+        if grand:
+            # grandparent-brick mode: fm = G self-neighbor map (the
+            # grandparent level of the *input* set), feats = [G, 64, cin]
+            # grandchild brick, valid unused (brick holds zeros at invalid
+            # slots).  Returns [G, 8, cout] child bricks; the caller
+            # unflattens to its output rows and re-masks.
+            out = F.conv_fns()[3](fm, feats, w, self.kernel_size, "down")
+            if self.use_bias:
+                b = self.param("b", nn.initializers.zeros, (self.cout,),
+                               jnp.float32)
+                out = out + b
+            return out
         out = F.conv_fns()[2](fm, feats, valid, w, self.kernel_size)
         if self.use_bias:
             b = self.param("b", nn.initializers.zeros, (self.cout,), jnp.float32)

@@ -48,6 +48,12 @@ class AnalysisTransform(nn.Module):
     # static capacity of each downsampled level as a fraction of the input
     # capacity; overflow degrades gracefully (self-consistent clipping)
     cap_factors: Sequence[float] = (0.5, 0.25, 0.125)
+    # Input conv in grandparent-brick layout (ops/family.grand_apply
+    # "down" mode): conv1 gathers 27 rows of the stride-4 set instead of
+    # 27 rows of the stride-2 set — 4x fewer gather rows where the point
+    # count peaks.  Same parameters, same output (fp accumulation order
+    # differs); mirrors g_s's grand_finest.
+    grand_input: bool = False
 
     @nn.compact
     def __call__(self, x: SparseTensor, root_nbr=None, level_caps=None):
@@ -84,8 +90,36 @@ class AnalysisTransform(nn.Module):
                                point_slot=levels[l]["sl"],
                                nbr_idx=nbr[0], nbr_ok=nbr[1])
 
-        f1 = FamilyDownConv(self.C_in, self.N1, 5, name="conv1")(
-            fm(0), x.feats, x.valid)
+        if self.grand_input:
+            import jax
+            cap1 = levels[1]["keys"].shape[0]
+            cap2 = levels[2]["keys"].shape[0]
+            pp0, sl0 = levels[0]["pp"], levels[0]["sl"]  # point -> s2
+            pp1, sl1 = levels[1]["pp"], levels[1]["sl"]  # s2 -> s4
+            # grandparent index/slot per input point; invalid points
+            # (pp0 == cap1) land on the dropped sentinel row cap2
+            pp1_ext = jnp.concatenate(
+                [pp1, jnp.full((1,), cap2, pp1.dtype)])
+            sl1_ext = jnp.concatenate([sl1, jnp.zeros((1,), sl1.dtype)])
+            gpar = pp1_ext[pp0]
+            gslot = (sl1_ext[pp0] << 3) | sl0
+            fdt = x.feats.dtype
+            with jax.named_scope("ga_grand_pack"):
+                xb = jnp.zeros((cap2 + 1, 64, self.C_in), fdt)
+                xb = xb.at[gpar, gslot].set(
+                    x.feats * x.valid[:, None].astype(fdt),
+                    mode="drop", unique_indices=True)[:cap2]
+            nbr2 = levels[2]["nbr"]
+            with jax.named_scope("ga_grand_conv1"):
+                fb = FamilyDownConv(self.C_in, self.N1, 5, name="conv1")(
+                    nbr2, xb, None, grand=True)  # [cap2, 8, N1]
+            rows = jnp.minimum(pp1, cap2 - 1) * 8 + sl1
+            v1 = C.key_is_valid(levels[1]["keys"])
+            f1 = (fb.reshape(cap2 * 8, self.N1)[rows]
+                  * v1[:, None].astype(fb.dtype))
+        else:
+            f1 = FamilyDownConv(self.C_in, self.N1, 5, name="conv1")(
+                fm(0), x.feats, x.valid)
         x = SparseTensor(keys=levels[1]["keys"], feats=f1, stride=x.stride * 2)
         x = x.replace(feats=GDN(self.N1, name="gdn1")(x.feats))
         k1 = x.counts_per_batch(self.max_batch)
