@@ -288,3 +288,28 @@ def test_grand_down_matches_flat():
         jnp.asarray(cb), w)  # [G, 8, cout]
     np.testing.assert_allclose(np.asarray(grand)[ppar, pslot],
                                np.asarray(flat), rtol=2e-5, atol=2e-5)
+
+
+def test_grand_tiled_matches_scan():
+    """The G-tiled grand_apply (acc written once per tile) must equal the
+    tap-scan formulation bit-for-bit (same per-element accumulation order)."""
+    from upcc_tpu.ops import family as F
+    rng = np.random.default_rng(21)
+    g, cin, cout = 1024, 16, 8
+    nbr_idx = jnp.asarray(rng.integers(0, g, (g, 27)).astype(np.int32))
+    nbr_ok = jnp.asarray(rng.random((g, 27)) < 0.8)
+    brick = jnp.asarray(rng.standard_normal((g, 8, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((125, cin, cout)).astype(np.float32))
+
+    ref = jax.jit(lambda n, b, ww: F.grand_apply(n, b, ww, 5, "transpose"))(
+        (nbr_idx, nbr_ok), brick, w)
+    old_flag, old_tile = F.GRAND_TILED, F.GRAND_TILE
+    try:
+        F.GRAND_TILED, F.GRAND_TILE = True, 256
+        tiled = jax.jit(
+            lambda n, b, ww: F.grand_apply(n, b, ww, 5, "transpose"))(
+            (nbr_idx, nbr_ok), brick, w)
+    finally:
+        F.GRAND_TILED, F.GRAND_TILE = old_flag, old_tile
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

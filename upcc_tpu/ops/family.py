@@ -572,6 +572,13 @@ def grand_expand_weights(weights, kernel_size, mode, compute_dtype):
         27, n_in * cin, n_out * cout).astype(compute_dtype)
 
 
+# Tiled grand_apply: flag + tile size (see grand_apply body).  Off by
+# default until the live TPU A/B lands; flipped per-process by bench/codec
+# experiments.
+GRAND_TILED = False
+GRAND_TILE = 1024
+
+
 def grand_apply(g_nbr, in_brick, weights, kernel_size, mode,
                 compute_dtype=None):
     """Apply a conv/transpose/down-conv in grandparent-brick layout.
@@ -588,6 +595,31 @@ def grand_apply(g_nbr, in_brick, weights, kernel_size, mode,
     wexp = grand_expand_weights(weights, kernel_size, mode, compute_dtype)
     flat = in_brick.reshape(in_brick.shape[0], n_in * cin)[:g] \
         .astype(compute_dtype)
+
+    if GRAND_TILED and g % GRAND_TILE == 0 and g >= 2 * GRAND_TILE:
+        # Tile over G with all 27 taps unrolled per tile: the f32
+        # accumulator is written ONCE per element instead of round-tripping
+        # HBM on all 27 scan steps (the dominant traffic of the decode's
+        # grand convs per the profiler trace: acc [131072, 2048] f32 read+
+        # written 27x = ~26 GB/conv at ~120 GB/s).  The tap loop runs
+        # inside one scan body so the acc tile stays on-chip.
+        t = GRAND_TILE
+        nt = g // t
+        idx_t = nbr_idx.reshape(nt, t, 27)
+        ok_t = nbr_ok.reshape(nt, t, 27)
+
+        def tile_step(_, inp):
+            ni, ok = inp  # [t, 27], [t, 27]
+            acc = jnp.zeros((t, n_out * cout), jnp.float32)
+            for k in range(27):
+                nb = flat[jnp.minimum(ni[:, k], g - 1)] \
+                    * ok[:, k][:, None].astype(compute_dtype)
+                acc = acc + jnp.dot(nb, wexp[k],
+                                    preferred_element_type=jnp.float32)
+            return None, acc
+
+        _, acc = jax.lax.scan(tile_step, None, (idx_t, ok_t))
+        return acc.reshape(g, n_out, cout)
 
     def step(acc, inp):
         ni, ok, wk = inp
