@@ -290,9 +290,10 @@ def test_grand_down_matches_flat():
                                np.asarray(flat), rtol=2e-5, atol=2e-5)
 
 
-def test_grand_tiled_matches_scan():
-    """The G-tiled grand_apply (acc written once per tile) must equal the
-    tap-scan formulation bit-for-bit (same per-element accumulation order)."""
+def test_tap_tiled_matches_scan():
+    """The row-tiled tap accumulation (acc written once per tile) must equal
+    the tap-scan formulation for every conv kernel (same per-element
+    accumulation order)."""
     from upcc_tpu.ops import family as F
     rng = np.random.default_rng(21)
     g, cin, cout = 1024, 16, 8
@@ -300,16 +301,32 @@ def test_grand_tiled_matches_scan():
     nbr_ok = jnp.asarray(rng.random((g, 27)) < 0.8)
     brick = jnp.asarray(rng.standard_normal((g, 8, cin)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((125, cin, cout)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((g, cin)).astype(np.float32))
+    valid = jnp.ones((g,), bool)
 
-    ref = jax.jit(lambda n, b, ww: F.grand_apply(n, b, ww, 5, "transpose"))(
-        (nbr_idx, nbr_ok), brick, w)
-    old_flag, old_tile = F.GRAND_TILED, F.GRAND_TILE
+    def runs():
+        out = {}
+        out["grand"] = jax.jit(lambda: F.grand_apply(
+            (nbr_idx, nbr_ok), brick, w, 5, "transpose"))()
+        out["transpose"] = jax.jit(lambda: F.family_transpose_up(
+            (nbr_idx, nbr_ok), feats, valid, w, 5))()
+        fm = F.FamilyMap(parent_keys=jnp.arange(g, dtype=jnp.int64) * 8,
+                         point_parent=jnp.arange(g, dtype=jnp.int32),
+                         point_slot=jnp.zeros((g,), jnp.int32),
+                         nbr_idx=nbr_idx, nbr_ok=nbr_ok)
+        out["conv"] = jax.jit(lambda: F.family_conv(
+            fm, feats, valid, w, 5))()
+        out["down"] = jax.jit(lambda: F.family_down_conv(
+            fm, feats, valid, w, 5))()
+        return out
+
+    ref = runs()
+    old_flag, old_tile = F.TAP_TILED, F.TAP_TILE
     try:
-        F.GRAND_TILED, F.GRAND_TILE = True, 256
-        tiled = jax.jit(
-            lambda n, b, ww: F.grand_apply(n, b, ww, 5, "transpose"))(
-            (nbr_idx, nbr_ok), brick, w)
+        F.TAP_TILED, F.TAP_TILE = True, 256
+        tiled = runs()
     finally:
-        F.GRAND_TILED, F.GRAND_TILE = old_flag, old_tile
-    np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref),
-                               rtol=1e-6, atol=1e-6)
+        F.TAP_TILED, F.TAP_TILE = old_flag, old_tile
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(tiled[k]), np.asarray(ref[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)

@@ -429,15 +429,7 @@ def family_conv(fm_in: FamilyMap, in_feats, in_valid, weights, kernel_size,
     cout = weights.shape[-1]
     wexp = _expanded_weights(weights, kernel_size).astype(compute_dtype)
     flat = brick[:p_in].reshape(p_in, 8 * cin).astype(compute_dtype)
-
-    def step(acc, inp):
-        ni, ok, wk = inp
-        nb = flat[jnp.minimum(ni, p_in - 1)] * ok[:, None].astype(compute_dtype)
-        return acc + jnp.dot(nb, wk, preferred_element_type=jnp.float32), None
-
-    acc0 = jnp.zeros((p_out, 8 * cout), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0,
-                          (nbr_idx.T, nbr_ok.T, wexp), unroll=9)
+    acc = _tap_scan_gemm(flat, p_in, nbr_idx, nbr_ok, wexp, compute_dtype)
     if out_fm.contiguous and out_fm.num_parents == p_out:
         out = acc.reshape(p_out * 8, cout)
     else:
@@ -488,17 +480,11 @@ def family_transpose_up(fm_parent_nbr, in_feats, in_valid, weights,
                             jnp.zeros((1, cin, cout), weights.dtype)], 0)
     wt = wpad[jnp.asarray(tab)]  # [27, 8, Cin, Cout]
     wt = jnp.where(jnp.asarray(tab)[..., None, None] >= 0, wt, 0.0)
-    wt = wt.astype(compute_dtype)
-
-    def step(acc, inp):
-        ni, ok, wk = inp  # ni [N_out], wk [8, Cin, Cout]
-        nb = x[jnp.minimum(ni, n - 1)] * ok[:, None].astype(compute_dtype)
-        return acc + jnp.einsum("nc,scd->nsd", nb, wk,
-                                preferred_element_type=jnp.float32), None
-
+    # [27, Cin, 8*Cout]: einsum nc,scd->nsd == nb @ wt2 with out slot-major
+    wt2 = wt.transpose(0, 2, 1, 3).reshape(27, cin, 8 * cout) \
+        .astype(compute_dtype)
     n_out = nbr_idx.shape[0]
-    acc0 = jnp.zeros((n_out, 8, cout), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, (nbr_idx.T, nbr_ok.T, wt), unroll=9)
+    acc = _tap_scan_gemm(x, n, nbr_idx, nbr_ok, wt2, compute_dtype)
     return acc.reshape(8 * n_out, cout)
 
 
@@ -572,11 +558,55 @@ def grand_expand_weights(weights, kernel_size, mode, compute_dtype):
         27, n_in * cin, n_out * cout).astype(compute_dtype)
 
 
-# Tiled grand_apply: flag + tile size (see grand_apply body).  Off by
-# default until the live TPU A/B lands; flipped per-process by bench/codec
-# experiments.
-GRAND_TILED = False
-GRAND_TILE = 1024
+# Row-tiled tap accumulation: flag + tile size.  Off by default until the
+# live TPU A/B lands; flipped per-process by bench/codec experiments.
+# (GRAND_TILED is the historical name; it now governs every tap scan.)
+TAP_TILED = False
+TAP_TILE = 1024
+
+
+def _tap_scan_gemm(flat, n_src, nbr_idx, nbr_ok, wstack, compute_dtype):
+    """acc[r] = sum_k (flat[nbr_idx[r, k]] * ok[r, k]) @ wstack[k].
+
+    flat: [n_src, K_in] compute_dtype.  wstack: [T, K_in, K_out].
+    Returns [rows, K_out] float32.
+
+    Two formulations, same per-element accumulation order (bit-identical):
+      * tap scan (default): lax.scan over the T taps, acc [rows, K_out] f32
+        carried through HBM — 2*T acc round-trips dominate traffic at
+        production scale (profiler: 24-27 GB per decode grand conv).
+      * row-tiled (TAP_TILED): lax.scan over row tiles with all T taps
+        unrolled in the body, acc tile written once (compiler estimate on
+        the decode's top conv: 49.8 -> 7.7 GB accessed)."""
+    rows = nbr_idx.shape[0]
+    k_out = wstack.shape[-1]
+    taps = wstack.shape[0]
+    if TAP_TILED and rows % TAP_TILE == 0 and rows >= 2 * TAP_TILE:
+        t = TAP_TILE
+        idx_t = nbr_idx.reshape(rows // t, t, taps)
+        ok_t = nbr_ok.reshape(rows // t, t, taps)
+
+        def tile_step(_, inp):
+            ni, ok = inp  # [t, taps] each
+            acc = jnp.zeros((t, k_out), jnp.float32)
+            for k in range(taps):
+                nb = flat[jnp.minimum(ni[:, k], n_src - 1)] \
+                    * ok[:, k][:, None].astype(compute_dtype)
+                acc = acc + jnp.dot(nb, wstack[k],
+                                    preferred_element_type=jnp.float32)
+            return None, acc
+
+        _, acc = jax.lax.scan(tile_step, None, (idx_t, ok_t))
+        return acc.reshape(rows, k_out)
+
+    def step(acc, inp):
+        ni, ok, wk = inp
+        nb = flat[jnp.minimum(ni, n_src - 1)] * ok[:, None].astype(compute_dtype)
+        return acc + jnp.dot(nb, wk, preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((rows, k_out), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (nbr_idx.T, nbr_ok.T, wstack), unroll=9)
+    return acc
 
 
 def grand_apply(g_nbr, in_brick, weights, kernel_size, mode,
@@ -595,39 +625,7 @@ def grand_apply(g_nbr, in_brick, weights, kernel_size, mode,
     wexp = grand_expand_weights(weights, kernel_size, mode, compute_dtype)
     flat = in_brick.reshape(in_brick.shape[0], n_in * cin)[:g] \
         .astype(compute_dtype)
-
-    if GRAND_TILED and g % GRAND_TILE == 0 and g >= 2 * GRAND_TILE:
-        # Tile over G with all 27 taps unrolled per tile: the f32
-        # accumulator is written ONCE per element instead of round-tripping
-        # HBM on all 27 scan steps (the dominant traffic of the decode's
-        # grand convs per the profiler trace: acc [131072, 2048] f32 read+
-        # written 27x = ~26 GB/conv at ~120 GB/s).  The tap loop runs
-        # inside one scan body so the acc tile stays on-chip.
-        t = GRAND_TILE
-        nt = g // t
-        idx_t = nbr_idx.reshape(nt, t, 27)
-        ok_t = nbr_ok.reshape(nt, t, 27)
-
-        def tile_step(_, inp):
-            ni, ok = inp  # [t, 27], [t, 27]
-            acc = jnp.zeros((t, n_out * cout), jnp.float32)
-            for k in range(27):
-                nb = flat[jnp.minimum(ni[:, k], g - 1)] \
-                    * ok[:, k][:, None].astype(compute_dtype)
-                acc = acc + jnp.dot(nb, wexp[k],
-                                    preferred_element_type=jnp.float32)
-            return None, acc
-
-        _, acc = jax.lax.scan(tile_step, None, (idx_t, ok_t))
-        return acc.reshape(g, n_out, cout)
-
-    def step(acc, inp):
-        ni, ok, wk = inp
-        nb = flat[jnp.minimum(ni, g - 1)] * ok[:, None].astype(compute_dtype)
-        return acc + jnp.dot(nb, wk, preferred_element_type=jnp.float32), None
-
-    acc0 = jnp.zeros((g, n_out * cout), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, (nbr_idx.T, nbr_ok.T, wexp), unroll=9)
+    acc = _tap_scan_gemm(flat, g, nbr_idx, nbr_ok, wexp, compute_dtype)
     return acc.reshape(g, n_out, cout)
 
 
@@ -656,15 +654,8 @@ def family_down_conv(fm_in: FamilyMap, in_feats, in_valid, weights,
     wt = jnp.where(jnp.asarray(tab)[..., None, None] >= 0, wt, 0.0)
     wt = wt.astype(compute_dtype).reshape(27, 8 * cin, cout)
     flat = brick[:p].reshape(p, 8 * cin).astype(compute_dtype)
-
-    def step(acc, inp):
-        ni, ok, wk = inp
-        nb = flat[jnp.minimum(ni, p - 1)] * ok[:, None].astype(compute_dtype)
-        return acc + jnp.dot(nb, wk, preferred_element_type=jnp.float32), None
-
-    acc0 = jnp.zeros((p, cout), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, (fm_in.nbr_idx.T, fm_in.nbr_ok.T, wt),
-                          unroll=9)
+    acc = _tap_scan_gemm(flat, p, fm_in.nbr_idx, fm_in.nbr_ok, wt,
+                         compute_dtype)
     acc = acc * C.key_is_valid(fm_in.parent_keys)[:, None].astype(acc.dtype)
     return acc
 
