@@ -330,3 +330,30 @@ def test_tap_tiled_matches_scan():
     for k in ref:
         np.testing.assert_allclose(np.asarray(tiled[k]), np.asarray(ref[k]),
                                    rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_to_brick_gather_matches_scatter():
+    """Index-scatter + row-gather brick packing must equal the direct
+    feature scatter (including dump-row slicing semantics)."""
+    from upcc_tpu.ops import family as F
+    rng = np.random.default_rng(5)
+    p, n, c = 64, 200, 12
+    pairs = rng.choice(p * 8, size=n, replace=False)
+    pp = jnp.asarray((pairs // 8).astype(np.int32))
+    sl = jnp.asarray((pairs % 8).astype(np.int32))
+    # a few clipped points land on the dump row p
+    pp = pp.at[:5].set(p)
+    fm = F.FamilyMap(parent_keys=jnp.arange(p, dtype=jnp.int64),
+                     point_parent=pp, point_slot=sl,
+                     nbr_idx=jnp.zeros((p, 27), jnp.int32),
+                     nbr_ok=jnp.zeros((p, 27), bool))
+    feats = jnp.asarray(rng.standard_normal((n, c)).astype(np.float32))
+    ref = jax.jit(lambda f: F.to_brick(fm, f))(feats)
+    old = F.BRICK_GATHER
+    try:
+        F.BRICK_GATHER = True
+        got = jax.jit(lambda f: F.to_brick(fm, f))(feats)
+    finally:
+        F.BRICK_GATHER = old
+    # compare everything except the (arbitrary, caller-sliced) dump row
+    np.testing.assert_array_equal(np.asarray(got)[:p], np.asarray(ref)[:p])

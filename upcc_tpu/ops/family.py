@@ -351,6 +351,13 @@ def child_family(parent_keys, nbr=None):
                      nbr_idx=nbr_idx, nbr_ok=nbr_ok, contiguous=True)
 
 
+# Brick packing via index scatter + row gather instead of scattering the
+# feature rows themselves: the scatter payload drops from C*4 bytes/point
+# to 4 bytes/point (TPU scatters are slow per byte; gathers are fast).
+# Off by default pending the live A/B.
+BRICK_GATHER = False
+
+
 def to_brick(fm: FamilyMap, feats):
     """Pack point features into the dense [P+1, 8, C] brick tensor (row P is
     the dump row for clipped parents).  For contiguous (full child
@@ -361,6 +368,14 @@ def to_brick(fm: FamilyMap, feats):
         b = feats.reshape(p, 8, feats.shape[-1])
         return jnp.concatenate(
             [b, jnp.zeros((1, 8, feats.shape[-1]), feats.dtype)], axis=0)
+    if BRICK_GATHER:
+        n = feats.shape[0]
+        idx = jnp.full((p + 1, 8), n, jnp.int32).at[
+            fm.point_parent, fm.point_slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+        fpad = jnp.concatenate(
+            [feats, jnp.zeros((1, feats.shape[-1]), feats.dtype)], axis=0)
+        return fpad[idx]
     brick = jnp.zeros((p + 1, 8, feats.shape[-1]), feats.dtype)
     return brick.at[fm.point_parent, fm.point_slot].set(
         feats, mode="drop", unique_indices=True)
