@@ -190,3 +190,40 @@ def test_raw_loader_real_ply(tmp_path):
     rl2 = RawLoader("data/config/raw_loading.yaml")
     p = rl2.path_for("loot", 1000)
     assert p.endswith("loot/loot/Ply/loot_vox10_1000.ply")
+
+
+def test_downloader_dry_run(tmp_path, capsys, monkeypatch):
+    """Downloader with a custom manifest and no network: resolves every
+    manifest entry to its target path, creates the dest dir, fetches
+    nothing (reference download_raw_pointclouds.py parity, egress-gated)."""
+    import yaml
+    from upcc_tpu.data.download import download_datasets, _extract
+
+    manifest = {"tiny": {"url": "https://example.invalid/a.zip",
+                         "sequences": ["s1", "s2"]}}
+    mpath = tmp_path / "manifest.yaml"
+    mpath.write_text(yaml.safe_dump(manifest))
+    dest = tmp_path / "raw"
+    # force the no-requests branch regardless of environment
+    import builtins
+    real_import = builtins.__import__
+
+    def no_requests(name, *a, **k):
+        if name == "requests":
+            raise ImportError("blocked for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_requests)
+    download_datasets(str(mpath), str(dest))
+    outp = capsys.readouterr().out
+    assert "would fetch https://example.invalid/a.zip" in outp
+    assert "s1" in outp and dest.is_dir()
+    assert not any(dest.iterdir())  # nothing downloaded
+
+    # archive extraction helper round-trip (zip)
+    import zipfile
+    zp = tmp_path / "x.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("inner/file.txt", "hello")
+    _extract(str(zp), str(tmp_path / "out"))
+    assert (tmp_path / "out" / "inner" / "file.txt").read_text() == "hello"
