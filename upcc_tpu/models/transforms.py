@@ -52,8 +52,10 @@ class AnalysisTransform(nn.Module):
     # "down" mode): conv1 gathers 27 rows of the stride-4 set instead of
     # 27 rows of the stride-2 set — 4x fewer gather rows where the point
     # count peaks.  Same parameters, same output (fp accumulation order
-    # differs); mirrors g_s's grand_finest.
-    grand_input: bool = False
+    # differs); mirrors g_s's grand_finest.  Live A/B (vox10 bench frame):
+    # enc 2.12 -> 1.74 s alone, 1.48 s with BRICK_GATHER; bitstream
+    # identical — on by default.
+    grand_input: bool = True
 
     @nn.compact
     def __call__(self, x: SparseTensor, root_nbr=None, level_caps=None):

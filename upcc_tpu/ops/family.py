@@ -354,8 +354,9 @@ def child_family(parent_keys, nbr=None):
 # Brick packing via index scatter + row gather instead of scattering the
 # feature rows themselves: the scatter payload drops from C*4 bytes/point
 # to 4 bytes/point (TPU scatters are slow per byte; gathers are fast).
-# Off by default pending the live A/B.
-BRICK_GATHER = False
+# Live A/B on the vox10 bench frame: enc 2.12 -> 1.59 s, dec 2.18 -> 1.77 s,
+# bitstream identical — on by default.
+BRICK_GATHER = True
 
 
 def to_brick(fm: FamilyMap, feats):
