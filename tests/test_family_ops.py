@@ -332,6 +332,56 @@ def test_tap_tiled_matches_scan():
                                    rtol=1e-6, atol=1e-6, err_msg=k)
 
 
+def test_tap_bigmm_matches_scan():
+    """The single-dot_general tap accumulation must match the tap scan for
+    every conv kernel.  Accumulation order differs (one fused f32
+    reduction), so the tolerance is f32-rounding-level, not exact."""
+    from upcc_tpu.ops import family as F
+    rng = np.random.default_rng(22)
+    g, cin, cout = 1024, 16, 8
+    nbr_idx = jnp.asarray(rng.integers(0, g, (g, 27)).astype(np.int32))
+    nbr_ok = jnp.asarray(rng.random((g, 27)) < 0.8)
+    brick = jnp.asarray(rng.standard_normal((g, 8, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((125, cin, cout)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((g, cin)).astype(np.float32))
+    valid = jnp.ones((g,), bool)
+
+    def runs():
+        out = {}
+        out["grand"] = jax.jit(lambda: F.grand_apply(
+            (nbr_idx, nbr_ok), brick, w, 5, "transpose"))()
+        out["transpose"] = jax.jit(lambda: F.family_transpose_up(
+            (nbr_idx, nbr_ok), feats, valid, w, 5))()
+        fm = F.FamilyMap(parent_keys=jnp.arange(g, dtype=jnp.int64) * 8,
+                         point_parent=jnp.arange(g, dtype=jnp.int32),
+                         point_slot=jnp.zeros((g,), jnp.int32),
+                         nbr_idx=nbr_idx, nbr_ok=nbr_ok)
+        out["conv"] = jax.jit(lambda: F.family_conv(
+            fm, feats, valid, w, 5))()
+        out["down"] = jax.jit(lambda: F.family_down_conv(
+            fm, feats, valid, w, 5))()
+        return out
+
+    ref = runs()
+    old = F.TAP_BIGMM
+    try:
+        F.TAP_BIGMM = True
+        big = runs()
+        # the temp-size fallback must also kick in and reproduce the scan
+        old_cap = F.TAP_BIGMM_MAXTMP
+        F.TAP_BIGMM_MAXTMP = 0
+        fell_back = jax.jit(lambda: F.grand_apply(
+            (nbr_idx, nbr_ok), brick, w, 5, "transpose"))()
+    finally:
+        F.TAP_BIGMM = old
+        F.TAP_BIGMM_MAXTMP = old_cap
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(big[k]), np.asarray(ref[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(fell_back),
+                                  np.asarray(ref["grand"]))
+
+
 def test_to_brick_gather_matches_scatter():
     """Index-scatter + row-gather brick packing must equal the direct
     feature scatter (including dump-row slicing semantics)."""

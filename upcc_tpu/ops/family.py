@@ -580,6 +580,20 @@ def grand_expand_weights(weights, kernel_size, mode, compute_dtype):
 TAP_TILED = False
 TAP_TILE = 1024
 
+# Single-matmul tap accumulation: gather all T taps into [rows, T, K_in]
+# and contract (T, K_in) against the weight stack in ONE dot_general.
+# Same MACs as the tap scan, but the f32 accumulator lives in
+# VMEM/registers inside one MXU pass instead of round-tripping HBM 2*T
+# times (the dominant traffic term: 2*27*rows*K_out*4 B ~ 14 GB on the
+# decode's top grand conv vs ~1.7 GB of actual gather payload).  The
+# gathered stack is materialized (bf16), so peak temp grows by
+# rows*T*K_in*2 B; TAP_BIGMM_MAXTMP caps that — larger convs fall back to
+# the scan.  Accumulation ORDER differs from the scan (one fused f32
+# reduction), so results agree to f32 rounding, not bit-for-bit; encoder
+# and decoder share the same graphs, so codec consistency is unaffected.
+TAP_BIGMM = False
+TAP_BIGMM_MAXTMP = 4 << 30  # bytes of gathered-stack temp allowed
+
 
 def _tap_scan_gemm(flat, n_src, nbr_idx, nbr_ok, wstack, compute_dtype):
     """acc[r] = sum_k (flat[nbr_idx[r, k]] * ok[r, k]) @ wstack[k].
@@ -587,16 +601,27 @@ def _tap_scan_gemm(flat, n_src, nbr_idx, nbr_ok, wstack, compute_dtype):
     flat: [n_src, K_in] compute_dtype.  wstack: [T, K_in, K_out].
     Returns [rows, K_out] float32.
 
-    Two formulations, same per-element accumulation order (bit-identical):
+    Three formulations; the two scan forms share one per-element
+    accumulation order (bit-identical), TAP_BIGMM agrees to f32 rounding:
       * tap scan (default): lax.scan over the T taps, acc [rows, K_out] f32
         carried through HBM — 2*T acc round-trips dominate traffic at
         production scale (profiler: 24-27 GB per decode grand conv).
       * row-tiled (TAP_TILED): lax.scan over row tiles with all T taps
         unrolled in the body, acc tile written once (compiler estimate on
-        the decode's top conv: 49.8 -> 7.7 GB accessed)."""
+        the decode's top conv: 49.8 -> 7.7 GB accessed; a wash live — XLA
+        still spills the acc tile between the 27 unfused dots).
+      * big-matmul (TAP_BIGMM): see flag comment above."""
     rows = nbr_idx.shape[0]
+    k_in = wstack.shape[1]
     k_out = wstack.shape[-1]
     taps = wstack.shape[0]
+    if TAP_BIGMM and rows * taps * k_in * 2 <= TAP_BIGMM_MAXTMP:
+        gathered = flat[jnp.minimum(nbr_idx, n_src - 1)]  # [rows, T, K_in]
+        gathered = gathered * nbr_ok[..., None].astype(compute_dtype)
+        return jax.lax.dot_general(
+            gathered, wstack,
+            dimension_numbers=(((1, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32)
     if TAP_TILED and rows % TAP_TILE == 0 and rows >= 2 * TAP_TILE:
         t = TAP_TILE
         idx_t = nbr_idx.reshape(rows // t, t, taps)
