@@ -5,7 +5,9 @@ Run when the chip is free.  TAP_BIGMM changes the f32 accumulation order,
 so bitstreams are NOT expected to be byte-identical — the check here is
 enc/dec self-consistency (both sides share the graphs) plus size parity.
 """
-import time, numpy as np, jax, jax.numpy as jnp
+import sys, time
+sys.path.insert(0, "/root/repo")  # NOT via PYTHONPATH: that breaks axon plugin discovery
+import numpy as np, jax, jax.numpy as jnp
 from upcc_tpu.codec import Codec
 from upcc_tpu.data.synthetic import surface_cloud
 from upcc_tpu.models.unified import UnifiedModel
