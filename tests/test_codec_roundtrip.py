@@ -218,3 +218,62 @@ def test_mixed_q_container_decodes_per_q(codec):
     want = np.concatenate([codec.decompress(d1), codec.decompress(d2)])
     assert out.shape == want.shape
     assert np.array_equal(np.sort(out, axis=0), np.sort(want, axis=0))
+
+
+def test_symbol_escape_packing(codec):
+    """The int8+escape tunnel format must reproduce full-width symbols
+    exactly, including values far outside int8 range (enc pack/unpack and
+    the dec reconstruct splice)."""
+    from upcc_tpu.codec import codec as codec_mod
+
+    # --- enc side: run the symbols graph on feats scaled to force big
+    # symbols, then unpack the way compress() does and compare.
+    rng = np.random.default_rng(7)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=1500)
+    pc = np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+    codec.debug = True
+    codec.debug_info = []
+    data = codec.compress(pc, q=(0.5, 0.5), block_size=128)
+    out_ref = codec.decompress(data)
+    codec.debug = False
+
+    # craft a symbols-graph call with huge latents -> guaranteed escapes
+    ycap = 256
+    cb = CFG["entropy_model"]["C_bottleneck"]
+    y_feats = jnp.asarray(
+        rng.standard_normal((ycap, cb)).astype(np.float32) * 300.0)
+    dec = {"indexes": jnp.asarray(
+               rng.integers(0, 40, (ycap, cb)).astype(np.uint8)),
+           "scale": jnp.ones((ycap, cb), jnp.float32),
+           "means_hat": jnp.zeros((ycap, cb), jnp.float32),
+           "y_valid": jnp.ones((ycap,), jnp.float32)}
+    g = codec._symbols_graph(ycap)
+    params = codec.params if hasattr(codec, "params") else None
+    so = g(codec._params_for(None), y_feats, dec)
+    y_true = np.asarray(so["y_sym"])
+    assert int(so["esc_n"]) > 0, "test must exercise the escape path"
+    pku = np.asarray(so["packed"]).view(np.uint16)
+    vals = (pku & 0xFF).astype(np.uint8).view(np.int8).astype(np.int16)
+    idx = (pku >> 8).astype(np.int32)
+    pos = np.asarray(so["esc_pos"]); val = np.asarray(so["esc_val"])
+    keep = pos < y_true.size
+    np.put(vals, pos[keep], val[keep])
+    if int(so["esc_n"]) <= codec_mod.ESC_CAP:
+        np.testing.assert_array_equal(vals, y_true)
+    np.testing.assert_array_equal(idx, np.asarray(dec["indexes"]))
+
+    # --- dec side: the splice used by the i8 reconstruct graph must
+    # rebuild the exact int16 symbols from int8 + escape list.
+    from upcc_tpu.codec.codec import splice_escapes
+    y16 = y_true[:64]
+    y8 = np.clip(y16, -128, 127).astype(np.int8)
+    esc = np.nonzero(y16.ravel() != y8.ravel())[0]
+    assert len(esc) > 0
+    esc_pos = np.full(codec_mod.ESC_CAP, y16.size, np.int32)
+    esc_pos[:len(esc)] = esc
+    esc_val = np.zeros(codec_mod.ESC_CAP, np.int16)
+    esc_val[:len(esc)] = y16.ravel()[esc]
+    spliced = jax.jit(splice_escapes)(
+        jnp.asarray(y8), jnp.asarray(esc_pos), jnp.asarray(esc_val))
+    np.testing.assert_array_equal(np.asarray(spliced), y16)
+    assert len(out_ref) > 0

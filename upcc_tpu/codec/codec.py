@@ -39,6 +39,25 @@ from . import bitstream
 
 MAX_GROUP = 63  # batch bits hold 6 bits; batch index 63 is reserved
 
+# y symbols cross the host<->device tunnel as one int16 word per symbol:
+# high byte = rANS table index (uint8, scale table < 256 entries), low
+# byte = the symbol clipped to int8.  Symbols outside [-128, 127] are
+# rare tail events; they travel in a fixed-capacity escape list and are
+# spliced back in exactly on the other side.  ESC_CAP overflow falls
+# back to the full-width int16 path (correctness never depends on the
+# clip).  Halves the dominant per-frame transfer (fetch_y + y upload).
+ESC_CAP = 4096
+
+
+def splice_escapes(y8, esc_pos, esc_val):
+    """Widen int8 symbols to int16 and splice the escape list back in.
+
+    esc_pos holds flat indexes into y8 (fill slots point one past the
+    end and are dropped); esc_val the true int16 symbol values."""
+    flat = y8.astype(jnp.int16).ravel()
+    flat = flat.at[esc_pos].set(esc_val, mode="drop")
+    return flat.reshape(y8.shape)
+
 
 def _bucket(n, lo=512):
     return max(lo, 1 << max(0, math.ceil(math.log2(max(n, 1)))))
@@ -201,14 +220,33 @@ class Codec:
     def _symbols_graph(self, ycap):
         def build():
             def fn(params, y_feats, dec):
-                return self.cmodel.apply({"params": params}, y_feats, dec,
-                                         method=self.cmodel.encode_symbols_device)
+                y_sym = self.cmodel.apply(
+                    {"params": params}, y_feats, dec,
+                    method=self.cmodel.encode_symbols_device)
+                clipped = jnp.clip(y_sym, -128, 127)
+                packed = ((dec["indexes"].astype(jnp.int16) << 8)
+                          | (clipped.astype(jnp.int16) & 0xFF))
+                flat = y_sym.ravel()
+                mask = flat != jnp.clip(flat, -128, 127)
+                esc_pos = jnp.nonzero(
+                    mask, size=ESC_CAP, fill_value=flat.shape[0]
+                )[0].astype(jnp.int32)
+                esc_val = jnp.where(
+                    esc_pos < flat.shape[0],
+                    flat[jnp.minimum(esc_pos, flat.shape[0] - 1)],
+                    0).astype(jnp.int16)
+                return {"y_sym": y_sym, "packed": packed,
+                        "esc_pos": esc_pos, "esc_val": esc_val,
+                        "esc_n": mask.sum(dtype=jnp.int32)}
             return jax.jit(fn)
         return self._jit(("symbols", ycap), build)
 
-    def _reconstruct_graph(self, ycap, prune_caps):
+    def _reconstruct_graph(self, ycap, prune_caps, fmt="i8"):
         def build():
-            def fn(params, y_keys, y_sym, dec, k):
+            def fn(params, y_keys, y_sym, dec, k, esc_pos=None, esc_val=None):
+                if fmt == "i8":
+                    # int8 upload + exact escape splice (see ESC_CAP note)
+                    y_sym = splice_escapes(y_sym, esc_pos, esc_val)
                 st = self.cmodel.apply({"params": params}, y_keys, y_sym, dec,
                                        k, prune_caps,
                                        method=self.cmodel.decode_reconstruct_device)
@@ -220,7 +258,7 @@ class Codec:
                                    ).astype(jnp.uint8)
                 return batch_u8, morton_i32, colors8
             return jax.jit(fn)
-        return self._jit(("reconstruct", ycap, prune_caps), build)
+        return self._jit(("reconstruct", ycap, prune_caps, fmt), build)
 
     # -- encode --------------------------------------------------------------
 
@@ -341,8 +379,8 @@ class Codec:
                       y_keys, y_feats, *z_rn)
         dec = self._t("enc.params", self._params_graph(ycap, z_caps, hs_caps),
                       params, y_keys, hyp["z_sym"], qv, *z_rn)
-        y_sym = self._t("enc.symbols", self._symbols_graph(ycap),
-                        params, y_feats, dec)
+        sym_out = self._t("enc.symbols", self._symbols_graph(ycap),
+                          params, y_feats, dec)
 
         # host: per-block prefix runs (batch-major order) and entropy coding
         yv = y_keys_np != sent
@@ -361,8 +399,20 @@ class Codec:
         z_vals = self._t("enc.fetch_z", lambda: np.asarray(
             hyp["z_sym"][:_bucket(n_z, 64)]))[:n_z]
         ypre = _bucket(n_y, 64)
-        y_vals = self._t("enc.fetch_y", lambda: np.asarray(y_sym[:ypre]))[:n_y]
-        y_idx = np.asarray(dec["indexes"][:ypre])[:n_y]
+        cb = sym_out["packed"].shape[1]
+        pku = self._t("enc.fetch_y", lambda: np.asarray(
+            sym_out["packed"][:ypre])).view(np.uint16)
+        y_idx = (pku >> 8).astype(np.int32)[:n_y]
+        y_vals = (pku & 0xFF).astype(np.uint8).view(np.int8).astype(np.int16)
+        esc_n, pos, val = jax.device_get(
+            (sym_out["esc_n"], sym_out["esc_pos"], sym_out["esc_val"]))
+        if int(esc_n) > ESC_CAP:
+            # escape overflow: refetch at full width (correctness path)
+            y_vals = np.asarray(sym_out["y_sym"][:ypre])
+        elif int(esc_n):
+            keep = pos < ypre * cb  # escapes beyond the fetched window
+            np.put(y_vals, pos[keep], val[keep])
+        y_vals = y_vals[:n_y]
 
         k_all = np.asarray(enc["k"])  # [3, 64]
         blocks = []
@@ -511,10 +561,27 @@ class Codec:
         for i, b in enumerate(blks):
             k[:, i] = b["k"]
         prune_caps = tuple(_bucket(int(k[l].sum())) for l in range(3))
-        batch_u8, morton_i32, colors8 = self._t(
-            "dec.reconstruct", self._reconstruct_graph(ycap, prune_caps),
-            params, y_keys, self._dev(y_sym, device), dec,
-            self._dev(k, device))
+        # y symbols ride the tunnel as int8 + exact escape list (ESC_CAP
+        # note above); overflow falls back to the full-width int16 graph
+        y8 = np.clip(y_sym, -128, 127).astype(np.int8)
+        esc = np.nonzero(y_sym.ravel() != y8.ravel())[0]
+        if len(esc) <= ESC_CAP:
+            esc_pos = np.full(ESC_CAP, y_sym.size, np.int32)
+            esc_pos[:len(esc)] = esc
+            esc_val = np.zeros(ESC_CAP, np.int16)
+            esc_val[:len(esc)] = y_sym.ravel()[esc]
+            batch_u8, morton_i32, colors8 = self._t(
+                "dec.reconstruct",
+                self._reconstruct_graph(ycap, prune_caps, "i8"),
+                params, y_keys, self._dev(y8, device), dec,
+                self._dev(k, device), self._dev(esc_pos, device),
+                self._dev(esc_val, device))
+        else:
+            batch_u8, morton_i32, colors8 = self._t(
+                "dec.reconstruct",
+                self._reconstruct_graph(ycap, prune_caps, "i16"),
+                params, y_keys, self._dev(y_sym, device), dec,
+                self._dev(k, device))
 
         bu = self._t("dec.fetch_out", lambda: np.asarray(batch_u8))
         mi = np.asarray(morton_i32)
