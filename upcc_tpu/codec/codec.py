@@ -226,18 +226,13 @@ class Codec:
                 clipped = jnp.clip(y_sym, -128, 127)
                 packed = ((dec["indexes"].astype(jnp.int16) << 8)
                           | (clipped.astype(jnp.int16) & 0xFF))
-                flat = y_sym.ravel()
-                mask = flat != jnp.clip(flat, -128, 127)
-                esc_pos = jnp.nonzero(
-                    mask, size=ESC_CAP, fill_value=flat.shape[0]
-                )[0].astype(jnp.int32)
-                esc_val = jnp.where(
-                    esc_pos < flat.shape[0],
-                    flat[jnp.minimum(esc_pos, flat.shape[0] - 1)],
-                    0).astype(jnp.int16)
-                return {"y_sym": y_sym, "packed": packed,
-                        "esc_pos": esc_pos, "esc_val": esc_val,
-                        "esc_n": mask.sum(dtype=jnp.int32)}
+                # escapes (|sym| > 127) are tail events; a cheap count
+                # decides whether the host must refetch at full width —
+                # a device-side escape *list* (nonzero compaction over
+                # ycap*C elements) measured ~0.3 s/frame, far more than
+                # the refetch it avoids.
+                esc_n = (y_sym != clipped).sum(dtype=jnp.int32)
+                return {"y_sym": y_sym, "packed": packed, "esc_n": esc_n}
             return jax.jit(fn)
         return self._jit(("symbols", ycap), build)
 
@@ -399,19 +394,14 @@ class Codec:
         z_vals = self._t("enc.fetch_z", lambda: np.asarray(
             hyp["z_sym"][:_bucket(n_z, 64)]))[:n_z]
         ypre = _bucket(n_y, 64)
-        cb = sym_out["packed"].shape[1]
-        pku = self._t("enc.fetch_y", lambda: np.asarray(
-            sym_out["packed"][:ypre])).view(np.uint16)
+        pk, esc_n = self._t("enc.fetch_y", lambda: jax.device_get(
+            (sym_out["packed"][:ypre], sym_out["esc_n"])))
+        pku = np.asarray(pk).view(np.uint16)
         y_idx = (pku >> 8).astype(np.int32)[:n_y]
         y_vals = (pku & 0xFF).astype(np.uint8).view(np.int8).astype(np.int16)
-        esc_n, pos, val = jax.device_get(
-            (sym_out["esc_n"], sym_out["esc_pos"], sym_out["esc_val"]))
-        if int(esc_n) > ESC_CAP:
-            # escape overflow: refetch at full width (correctness path)
+        if int(esc_n):
+            # escapes present: refetch at full width (correctness path)
             y_vals = np.asarray(sym_out["y_sym"][:ypre])
-        elif int(esc_n):
-            keep = pos < ypre * cb  # escapes beyond the fetched window
-            np.put(y_vals, pos[keep], val[keep])
         y_vals = y_vals[:n_y]
 
         k_all = np.asarray(enc["k"])  # [3, 64]
