@@ -391,11 +391,13 @@ class Codec:
 
         zt, yt = self.tables["z"], self.tables["y"]
         zch = hyp["z_sym"].shape[1]
-        z_vals = self._t("enc.fetch_z", lambda: np.asarray(
-            hyp["z_sym"][:_bucket(n_z, 64)]))[:n_z]
         ypre = _bucket(n_y, 64)
-        pk, esc_n = self._t("enc.fetch_y", lambda: jax.device_get(
-            (sym_out["packed"][:ypre], sym_out["esc_n"])))
+        # ONE device_get round-trip for everything the host needs from the
+        # encode graphs (each separate sync pays ~35 ms tunnel latency)
+        z_vals, pk, esc_n, k_all = self._t("enc.fetch_y", lambda: jax.device_get(
+            (hyp["z_sym"][:_bucket(n_z, 64)], sym_out["packed"][:ypre],
+             sym_out["esc_n"], enc["k"])))
+        z_vals = z_vals[:n_z]
         pku = np.asarray(pk).view(np.uint16)
         y_idx = (pku >> 8).astype(np.int32)[:n_y]
         y_vals = (pku & 0xFF).astype(np.uint8).view(np.int8).astype(np.int16)
@@ -404,7 +406,6 @@ class Codec:
             y_vals = np.asarray(sym_out["y_sym"][:ypre])
         y_vals = y_vals[:n_y]
 
-        k_all = np.asarray(enc["k"])  # [3, 64]
         blocks = []
         for i, origin in enumerate(origins):
             zi = z_vals[z_ofs[i]:z_ofs[i + 1]].reshape(-1)
@@ -573,9 +574,8 @@ class Codec:
                 params, y_keys, self._dev(y_sym, device), dec,
                 self._dev(k, device))
 
-        bu = self._t("dec.fetch_out", lambda: np.asarray(batch_u8))
-        mi = np.asarray(morton_i32)
-        co = np.asarray(colors8)
+        bu, mi, co = self._t("dec.fetch_out", lambda: jax.device_get(
+            (batch_u8, morton_i32, colors8)))
         v = mi >= 0
         units = C.morton_decode_np(mi[v].astype(np.int64))
         origins = np.asarray([b["origin"] for b in blks], np.int32)
