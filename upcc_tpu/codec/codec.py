@@ -574,8 +574,19 @@ class Codec:
                 params, y_keys, self._dev(y_sym, device), dec,
                 self._dev(k, device))
 
-        bu, mi, co = self._t("dec.fetch_out", lambda: jax.device_get(
-            (batch_u8, morton_i32, colors8)))
+        # the final compaction leaves valid rows in a contiguous prefix and
+        # the container's k rows bound the count, so fetch only that prefix
+        # (the output arrays are sized to the coarse capacity bucket, ~2x);
+        # single-block frames skip the batch fetch entirely — every point
+        # shares origin 0
+        opre = min(_bucket(int(k[2].sum()), 64), prune_caps[2])
+        if g == 1:
+            mi, co = self._t("dec.fetch_out", lambda: jax.device_get(
+                (morton_i32[:opre], colors8[:opre])))
+            bu = np.zeros(opre, np.uint8)
+        else:
+            bu, mi, co = self._t("dec.fetch_out", lambda: jax.device_get(
+                (batch_u8[:opre], morton_i32[:opre], colors8[:opre])))
         v = mi >= 0
         units = C.morton_decode_np(mi[v].astype(np.int64))
         origins = np.asarray([b["origin"] for b in blks], np.int32)
