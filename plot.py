@@ -174,7 +174,8 @@ def plot_rd(frames, out_dir, sequence=None, pareto=False):
                         linestyle=style.get("linestyle", "-"),
                         label=style["label"])
             ax.plot(cur.bpp, cur[mkey], style.get("marker", "o"),
-                    color=style["color"])
+                    color=style["color"],
+                    label=None if len(cur) >= 2 else style["label"])
             drawn = True
         if not drawn:
             plt.close(fig)
