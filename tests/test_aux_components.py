@@ -227,3 +227,70 @@ def test_downloader_dry_run(tmp_path, capsys, monkeypatch):
         z.writestr("inner/file.txt", "hello")
     _extract(str(zp), str(tmp_path / "out"))
     assert (tmp_path / "out" / "inner" / "file.txt").read_text() == "hello"
+
+
+def test_batch_bucketing_packs_every_cube_once():
+    """Size-bucketed batching must keep exact cube membership (each cube
+    exactly once per epoch), never pick a capacity below a batch's total
+    (no silent drops), and only use ladder capacities <= the global cap."""
+    import numpy as np
+    from upcc_tpu.training.trainer import Training
+
+    rng = np.random.default_rng(3)
+    sizes = np.concatenate([rng.integers(200, 2000, 60),
+                            rng.integers(8000, 40000, 20)])
+    offsets = np.zeros(len(sizes) + 1, np.int64)
+    offsets[1:] = np.cumsum(sizes)
+
+    class DS:
+        def __init__(self):
+            self.offsets = offsets
+            self.indices = np.arange(len(sizes))
+        def __len__(self):
+            return len(sizes)
+        def __getitem__(self, i):
+            n = sizes[i]
+            return (np.full((n, 3), i, np.int32), np.zeros((n, 3), np.float32))
+
+    fake = Training.__new__(Training)
+    fake.train_ds, fake.batch_size, fake.capacity = DS(), 8, 131072
+    fake.config = {"batch_bucketing": True}
+    seen = np.zeros(len(sizes), np.int64)
+    for b, x, c in Training._batches(fake, np.random.default_rng(0)):
+        cap = len(b)
+        assert cap in Training._CAP_LADDER or cap == fake.capacity
+        valid = b >= 0
+        total = int(valid.sum())
+        assert total <= cap  # capacity always covers the packed batch
+        ids = x[valid][:, 0]
+        for i in np.unique(ids):
+            seen[i] += (ids == i).sum() // sizes[i] if sizes[i] else 0
+    np.testing.assert_array_equal(seen, np.ones(len(sizes), np.int64))
+
+
+def test_batch_bucketing_off_is_unchanged():
+    """Default path: flat capacity, same cube membership."""
+    import numpy as np
+    from upcc_tpu.training.trainer import Training
+
+    sizes = np.array([100, 300, 500, 700], np.int64)
+    offsets = np.zeros(len(sizes) + 1, np.int64)
+    offsets[1:] = np.cumsum(sizes)
+
+    class DS:
+        def __init__(self):
+            self.offsets = offsets
+            self.indices = np.arange(len(sizes))
+        def __len__(self):
+            return len(sizes)
+        def __getitem__(self, i):
+            n = sizes[i]
+            return (np.full((n, 3), i, np.int32), np.zeros((n, 3), np.float32))
+
+    fake = Training.__new__(Training)
+    fake.train_ds, fake.batch_size, fake.capacity = DS(), 2, 4096
+    fake.config = {}
+    batches = list(Training._batches(fake, np.random.default_rng(0)))
+    assert all(len(b) == 4096 for b, _, _ in batches)
+    total_valid = sum(int((b >= 0).sum()) for b, _, _ in batches)
+    assert total_valid == int(sizes.sum())
