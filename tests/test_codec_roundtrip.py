@@ -277,3 +277,23 @@ def test_symbol_escape_packing(codec):
         jnp.asarray(y8), jnp.asarray(esc_pos), jnp.asarray(esc_val))
     np.testing.assert_array_equal(np.asarray(spliced), y16)
     assert len(out_ref) > 0
+
+
+def test_stream_matches_sequential(codec):
+    """compress_stream/decompress_stream must be byte/value-identical to
+    the sequential per-frame path (frames are independent)."""
+    import numpy as np
+    from upcc_tpu.data.synthetic import surface_cloud
+    frames = []
+    for seed in range(3):
+        xyz, rgb = surface_cloud(np.random.default_rng(seed), extent=96,
+                                 n_target=600 + 50 * seed)
+        frames.append(np.concatenate([xyz.astype(np.float32), rgb], 1))
+    seq = [codec.compress(f, q=(0.5, 0.5), block_size=128) for f in frames]
+    piped = list(codec.compress_stream(frames, q=(0.5, 0.5), block_size=128,
+                                       depth=2))
+    assert [bytes(a) for a in piped] == [bytes(a) for a in seq]
+    seq_out = [codec.decompress(d) for d in seq]
+    piped_out = list(codec.decompress_stream(seq, depth=2))
+    for a, b in zip(seq_out, piped_out):
+        np.testing.assert_array_equal(a, b)

@@ -302,6 +302,48 @@ class Codec:
         blocks = [b for r in results for b in r]
         return bitstream.write_container(path, blocks, scaling_factor)
 
+    # -- streaming (multi-frame pipelining) ----------------------------------
+
+    def _stream(self, items, fn, depth):
+        """Bounded-depth pipeline: up to ``depth`` frames in flight on
+        worker threads, results yielded in input order.  While one frame
+        blocks on a device fetch or runs host entropy coding, the next
+        frame's device graphs dispatch — single-frame latency is dominated
+        by serial host<->device turnarounds, so overlapping frames raises
+        throughput without touching the per-frame path.  debug/profile
+        recording needs deterministic stage order and forces depth 1."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self.debug or self.profile:
+            depth = 1
+        depth = max(1, int(depth))
+        window = deque()
+        with ThreadPoolExecutor(max_workers=depth) as ex:
+            for item in items:
+                window.append(ex.submit(fn, item))
+                if len(window) > depth:
+                    yield window.popleft().result()
+            while window:
+                yield window.popleft().result()
+
+    def compress_stream(self, frames, q, block_size=1024, scaling_factor=1.0,
+                        depth=2):
+        """Pipelined encode of an iterable of frames; yields container
+        bytes in input order, byte-identical to sequential compress()
+        (each frame is independent; graphs are pure and shared read-only).
+        TPU-native serving addition — the reference encodes strictly
+        frame-at-a-time (/root/reference/evaluate.py:102-114)."""
+        yield from self._stream(
+            frames, lambda f: self.compress(f, q, block_size=block_size,
+                                            scaling_factor=scaling_factor),
+            depth)
+
+    def decompress_stream(self, containers, depth=2):
+        """Pipelined decode of an iterable of container byte strings;
+        yields [N, 6] frames in input order."""
+        yield from self._stream(containers, self.decompress, depth)
+
     def _map_groups(self, fn, items):
         """Sequential on one device; round-robin thread-pool over
         self.devices otherwise (parallel/block_parallel.py).  debug and
