@@ -269,7 +269,11 @@ class SparseSynthesisTransform(nn.Module):
                         g_nbr, cg, cvb, grand=True)  # [G, 64]
                 # flatten to flat candidate order (8 children per x row)
                 rows = jnp.minimum(gpar, gcap - 1) * 8 + gslot
-                cf8 = cg.reshape(gcap * 8, 8, cout)[rows]  # [|x|, 8, cout]
+                # bf16 for the flatten gather: it reads the whole [G,64,cout]
+                # array (~1 GB at vox10 scale, 72 ms traced in f32); these
+                # feats only feed the finest-level color head, logits stay f32
+                cf8 = cg.astype(jnp.bfloat16
+                                ).reshape(gcap * 8, 8, cout)[rows]
                 cfeats = (cf8 * xvalid[:, None, None].astype(cf8.dtype)
                           ).reshape(8 * n_parents, cout)
                 logits = (lgrand.reshape(gcap * 8, 8)[rows]
@@ -313,8 +317,12 @@ class SparseSynthesisTransform(nn.Module):
                 cvalid = C.key_is_valid(child_keys)
                 parent_nbr_next = nbr
                 n_parents = parent_keys.shape[0]
+            # finest level: candidate feats ride bf16 (they only feed the
+            # color head; matches the grand path), logits stay f32
             cand = SparseTensor(keys=jnp.where(cvalid, child_keys, C.SENTINEL),
-                                feats=cfeats, stride=x.stride // 2)
+                                feats=(cfeats.astype(jnp.bfloat16)
+                                       if lvl == 2 else cfeats),
+                                stride=x.stride // 2)
             with jax.named_scope(f"gs_head_l{lvl}"):
                 logits = OccupancyHead(pcin, pchid, name=pname)(cf, cfeats, cvalid)
             cands.append(cand)
