@@ -226,7 +226,10 @@ class Training:
             # voxelize once on the host and reuse the keys for the root
             # neighbor maps (a device binary search at these caps costs more
             # than the whole rest of the forward — TPU_NOTES.md)
-            keys_np, feats_np = voxelize_host_np(b, x, c, self.capacity)
+            # len(b) is the batch's own capacity (the ladder bucket when
+            # batch_bucketing is on; self.capacity otherwise) — padding back
+            # to the global cap here would undo the bucketing entirely
+            keys_np, feats_np = voxelize_host_np(b, x, c, len(b))
             st = SparseTensor(keys=jnp.asarray(keys_np),
                               feats=jnp.asarray(feats_np), stride=1)
             root_nbrs = host_root_maps(keys_np, self.config["model"])
