@@ -220,6 +220,23 @@ def test_mixed_q_container_decodes_per_q(codec):
     assert np.array_equal(np.sort(out, axis=0), np.sort(want, axis=0))
 
 
+def test_mixed_q_group_rejected(codec):
+    """_decompress_group itself must refuse a mixed-q block list loudly
+    (the group decodes under one q vector; mixing would desync the coder).
+    The public decompress() never builds such a group (it splits q runs),
+    so this guards direct callers."""
+    from upcc_tpu.codec import bitstream
+    rng = np.random.default_rng(7)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=700)
+    pc = np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+    d1 = codec.compress(pc, q=(0.2, 0.2), block_size=128)
+    d2 = codec.compress(pc, q=(0.9, 0.9), block_size=128)
+    b1, _ = bitstream.read_container(d1)
+    b2, _ = bitstream.read_container(d2)
+    with pytest.raises(ValueError, match="mixed per-block q"):
+        codec._decompress_group(b1[:1] + b2[:1])
+
+
 def test_symbol_escape_packing(codec):
     """The int8+escape tunnel format must reproduce full-width symbols
     exactly, including values far outside int8 range (enc pack/unpack and

@@ -509,6 +509,16 @@ class Codec:
         g = len(blks)
         zt, yt = self.tables["z"], self.tables["y"]
         sent = np.iinfo(np.int64).max
+        # the whole group decodes under one q (the Gaussian gains feed the
+        # rANS indexes); a mixed-q group would silently desync the coder,
+        # so reject it loudly rather than produce garbage
+        q0 = np.asarray(blks[0]["q"], np.float32)
+        for b in blks[1:]:
+            if not np.array_equal(np.asarray(b["q"], np.float32), q0):
+                raise ValueError(
+                    "mixed per-block q inside one decode group: "
+                    f"{q0.tolist()} vs {np.asarray(b['q']).tolist()}; "
+                    "group blocks by q before decoding")
 
         # coordinates: per-block octree decode, batched keys in batch-major
         # order (already sorted: batch bits are the key's high bits)
