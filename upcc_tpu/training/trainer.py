@@ -145,6 +145,25 @@ class Training:
         import flax.serialization as ser
         with open(os.path.join(self.results_dir, "weights.msgpack"), "wb") as f:
             f.write(ser.to_bytes(self.state.params))
+        self._prune_checkpoints(epoch)
+
+    def _prune_checkpoints(self, epoch, keep_last=3):
+        """Bound checkpoint disk: keep the newest `keep_last` plus every
+        val_every-th epoch (resume always uses the newest, so pruning never
+        breaks it).  ~190 MB/epoch at flagship scale without this."""
+        import shutil
+        every = int(self.config.get("val_every", 10))
+        entries = sorted(e for e in os.listdir(self.ckpt_dir)
+                         if e.startswith("ckpt_"))
+        for e in entries[:-keep_last] if keep_last else entries:
+            try:
+                ep = int(e.split("_")[1].split(".")[0])
+            except (IndexError, ValueError):
+                continue
+            if every > 0 and ep % every == 0:
+                continue
+            p = os.path.join(self.ckpt_dir, e)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
     def _maybe_resume(self):
         if not os.path.isdir(self.ckpt_dir):
