@@ -1,0 +1,27 @@
+#!/bin/sh
+# End-of-session artifact refresh: run after training stops, with the TPU
+# free.  Sequential (1-CPU host; see TPU_NOTES.md measurement pitfalls).
+#   sh scripts/final_refresh.sh [q_steps]
+# Logs land in /tmp/refresh_*.log; artifacts in results/.
+set -x
+cd /root/repo || exit 1
+QS=${1:-5}
+
+# 1. RD sweep with the freshest flagship weights (loot+longdress synthetic
+#    stand-ins; vox11 sequences excluded to bound wall time)
+timeout 7200 python -u evaluate.py --experiments CVPR_inverse_scaling \
+    --q_steps "$QS" --sequences loot longdress \
+    > /tmp/refresh_eval.log 2>&1
+
+# 2. plots + BD deltas (CPU only)
+timeout 1800 env JAX_PLATFORMS=cpu python -u plot.py \
+    --experiments CVPR_inverse_scaling gpcc_native \
+    > /tmp/refresh_plot.log 2>&1
+
+# 3. official bench (median of best 5 of 7)
+timeout 3600 python -u bench.py > /tmp/refresh_bench.log 2>&1
+
+# 4. streaming throughput numbers for TPU_NOTES
+timeout 3600 python -u scripts/prof_stream.py > /tmp/refresh_stream.log 2>&1
+
+tail -2 /tmp/refresh_bench.log
