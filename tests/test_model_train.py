@@ -112,6 +112,20 @@ def test_qfunc_modes():
     assert np.allclose(le1, [[199, 12799]])
 
 
+def test_qfunc_corner_emphasis():
+    """corner_p snaps q components to exact {0,1} at roughly that rate and
+    leaves the rest uniform; corner_p=0 reproduces plain U(0,1) sampling."""
+    qf = QFunc({**QMAP_CFG, "corner_p": 0.5})
+    qs = np.concatenate([np.asarray(qf.sample(jax.random.PRNGKey(i), 1)[0])
+                         for i in range(400)])
+    at_corner = (qs == 0.0) | (qs == 1.0)
+    frac = at_corner.mean()
+    assert 0.4 < frac < 0.6, frac
+    assert (qs[~at_corner] > 0).all() and (qs[~at_corner] < 1).all()
+    q0 = QFunc(QMAP_CFG).sample(jax.random.PRNGKey(7), 1)[0]
+    assert not np.any((np.asarray(q0) == 0) | (np.asarray(q0) == 1))
+
+
 def test_gdn_formula():
     """GDN1 forward == |F| @ gamma + beta divisive norm with the documented
     init (gamma = 0.1*I, beta = 1)."""
