@@ -142,7 +142,7 @@ def run_anchor_testset(exp, sequences=None, with_metrics=True,
 def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                 data_root="./data/raw", results_path="./results",
                 max_points=None, allow_synthetic=True, with_pcqm=True,
-                pcqm_max_points=200_000, with_renders=True):
+                pcqm_max_points=200_000, with_renders=True, append=False):
     import jax
     import jax.numpy as jnp
     import flax.serialization as ser
@@ -234,11 +234,27 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                           f"dec={row['t_decompress']:.2f}s", flush=True)
         if rows:
             path = os.path.join(exp_dir, "test.csv")
+            # --append: extend an existing sweep (e.g. add a vox11 sequence
+            # at a coarser q grid without redoing the vox10 5x5); replaced
+            # sequences are dropped first so a rerun stays consistent
+            old = []
+            if append and os.path.exists(path):
+                with open(path, newline="") as f:
+                    redone = {r["sequence"] for r in rows}
+                    old = [r for r in csv.DictReader(f)
+                           if r["sequence"] not in redone]
+            fields = list(rows[0])
+            for r in old:
+                for k in r:
+                    if k not in fields:
+                        fields.append(k)
             with open(path, "w", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=list(rows[0]))
+                w = csv.DictWriter(f, fieldnames=fields, restval="")
                 w.writeheader()
+                w.writerows(old)
                 w.writerows(rows)
-            print(f"[{exp}] wrote {path} ({len(rows)} rows)")
+            print(f"[{exp}] wrote {path} "
+                  f"({len(old) + len(rows)} rows, {len(rows)} new)")
 
 
 if __name__ == "__main__":
@@ -255,10 +271,13 @@ if __name__ == "__main__":
     ap.add_argument("--no_pcqm", action="store_true")
     ap.add_argument("--no_renders", action="store_true")
     ap.add_argument("--pcqm_max_points", type=int, default=200_000)
+    ap.add_argument("--append", action="store_true",
+                    help="extend an existing test.csv instead of rewriting "
+                         "it (rows for re-run sequences are replaced)")
     a = ap.parse_args()
     run_testset(a.experiments, a.q_steps, a.sequences,
                 with_metrics=not a.no_metrics, max_points=a.max_points,
                 data_root=a.data_root,
                 allow_synthetic=not a.require_real_data,
                 with_pcqm=not a.no_pcqm, pcqm_max_points=a.pcqm_max_points,
-                with_renders=not a.no_renders)
+                with_renders=not a.no_renders, append=a.append)
