@@ -176,9 +176,13 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
             st, jnp.full((1, 2), 0.5, jnp.float32),
             jnp.ones((1, 2), jnp.float32))["params"]
         wpath = os.path.join(exp_dir, "weights.msgpack")
+        cpath = os.path.join(exp_dir, "weights_bf16.msgpack")
+        from upcc_tpu.utils.weights_io import load_params
         if os.path.exists(wpath):
-            with open(wpath, "rb") as f:
-                params = ser.from_bytes(template, f.read())
+            params = load_params(template, wpath)
+        elif os.path.exists(cpath):
+            print(f"[{exp}] using compact bf16 snapshot {cpath}")
+            params = load_params(template, cpath)
         else:
             print(f"[{exp}] no weights.msgpack — evaluating template params")
             params = template
