@@ -145,6 +145,10 @@ class Training:
         import flax.serialization as ser
         with open(os.path.join(self.results_dir, "weights.msgpack"), "wb") as f:
             f.write(ser.to_bytes(self.state.params))
+        # committable half-size snapshot (survives host restarts; weights_io)
+        from ..utils.weights_io import save_compact
+        save_compact(self.state.params,
+                     os.path.join(self.results_dir, "weights_bf16.msgpack"))
         self._prune_checkpoints(epoch)
 
     def _prune_checkpoints(self, epoch, keep_last=3):
