@@ -7,6 +7,10 @@ set -x
 cd /root/repo || exit 1
 QS=${1:-5}
 
+# 0. committable bf16 weight snapshot of the freshest flagship weights
+python scripts/snapshot_weights.py CVPR_inverse_scaling \
+    > /tmp/refresh_snapshot.log 2>&1
+
 # 1. RD sweep with the freshest flagship weights (loot+longdress synthetic
 #    stand-ins; vox11 sequences excluded to bound wall time)
 timeout 7200 python -u evaluate.py --experiments CVPR_inverse_scaling \
