@@ -1,0 +1,88 @@
+"""File-level codec CLI: PLY <-> .upcc bitstream with a trained experiment.
+
+The reference exposes compression only through the evaluate.py sweep and
+the model API (reference model/model.py:94-250); this CLI is the serving
+surface on top of the same Codec:
+
+    python compress.py encode in.ply out.upcc \
+        --experiment results/CVPR_inverse_scaling --q 0.4 0.4
+    python compress.py decode out.upcc rec.ply \
+        --experiment results/CVPR_inverse_scaling
+
+Multiple inputs stream through the pipelined codec path
+(Codec.compress_stream / decompress_stream), overlapping host entropy
+coding with the next frame's device graphs; outputs are byte-identical to
+one-at-a-time coding.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_cloud(path):
+    from upcc_tpu.data.ply import read_ply
+    xyz, rgb = read_ply(path)
+    if rgb is None:
+        # codec color convention is [0,1] floats on the 8-bit grid
+        rgb = np.full_like(xyz, 0.5, dtype=np.float64)
+    return np.concatenate([np.asarray(xyz, np.float64),
+                           np.asarray(rgb, np.float64)], axis=1)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=["encode", "decode"])
+    ap.add_argument("inputs", nargs="+",
+                    help="input file(s); with multiple inputs the last "
+                         "positional is treated as an output DIRECTORY")
+    ap.add_argument("output", help="output file (or directory for many)")
+    ap.add_argument("--experiment", default="results/CVPR_inverse_scaling",
+                    help="trained experiment dir (config.yaml + weights)")
+    ap.add_argument("--q", type=float, nargs=2, default=(0.5, 0.5),
+                    metavar=("Q_G", "Q_A"),
+                    help="quality in [0,1]^2: geometry, attributes")
+    ap.add_argument("--block_size", type=int, default=1024)
+    ap.add_argument("--scaling_factor", type=float, default=1.0)
+    a = ap.parse_args(argv)
+
+    from upcc_tpu.codec.io import load_codec
+    codec, _ = load_codec(a.experiment)
+
+    many = len(a.inputs) > 1
+    if many:
+        os.makedirs(a.output, exist_ok=True)
+
+    def out_path(inp, ext):
+        if not many:
+            return a.output
+        stem = os.path.splitext(os.path.basename(inp))[0]
+        return os.path.join(a.output, stem + ext)
+
+    t0 = time.time()
+    if a.mode == "encode":
+        frames = (_load_cloud(p) for p in a.inputs)
+        blobs = codec.compress_stream(frames, q=tuple(a.q),
+                                      block_size=a.block_size,
+                                      scaling_factor=a.scaling_factor)
+        for inp, blob in zip(a.inputs, blobs):
+            dst = out_path(inp, ".upcc")
+            with open(dst, "wb") as f:
+                f.write(blob)
+            print(f"{inp} -> {dst}  {len(blob)} bytes")
+    else:
+        from upcc_tpu.data.ply import write_ply
+        blobs = (open(p, "rb").read() for p in a.inputs)
+        for inp, rec in zip(a.inputs, codec.decompress_stream(blobs)):
+            rec = np.asarray(rec)
+            dst = out_path(inp, ".ply")
+            write_ply(dst, rec[:, :3], rec[:, 3:6])
+            print(f"{inp} -> {dst}  {len(rec)} points")
+    print(f"done in {time.time() - t0:.2f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

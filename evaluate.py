@@ -18,7 +18,6 @@ import os
 import time
 
 import numpy as np
-import yaml
 
 TEST_SET = {
     "loot": {"resolution": 1023, "block_size": 1024, "frame": 1200},
@@ -143,14 +142,9 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                 data_root="./data/raw", results_path="./results",
                 max_points=None, allow_synthetic=True, with_pcqm=True,
                 pcqm_max_points=200_000, with_renders=True, append=False):
-    import jax
-    import jax.numpy as jnp
-    import flax.serialization as ser
     import upcc_tpu  # noqa: F401
-    from upcc_tpu.codec import Codec
+    from upcc_tpu.codec.io import load_codec
     from upcc_tpu.eval.metrics import pc_metrics
-    from upcc_tpu.models.unified import UnifiedModel
-    from upcc_tpu.ops.sparse import from_points_host
 
     qs = np.linspace(0, 1, q_steps)
     for exp in experiments:
@@ -160,34 +154,9 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                                with_pcqm, pcqm_max_points)
             continue
         exp_dir = os.path.join(results_path, exp)
-        with open(os.path.join(exp_dir, "config.yaml")) as f:
-            cfg = yaml.safe_load(f)
-        mcfg = dict(cfg["model"])
-        mcfg["max_batch"] = cfg.get("batch_size", 8)
-        model = UnifiedModel(mcfg)
-
-        # template params then restore weights (reference evaluate.py:79-89)
-        rng = np.random.default_rng(0)
-        from upcc_tpu.data.synthetic import surface_cloud
-        xyz, rgb = surface_cloud(rng, extent=32, n_target=500)
-        st = from_points_host(np.zeros(len(xyz), np.int32), xyz, rgb, 512)
-        template = jax.jit(model.init)(
-            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-            st, jnp.full((1, 2), 0.5, jnp.float32),
-            jnp.ones((1, 2), jnp.float32))["params"]
-        wpath = os.path.join(exp_dir, "weights.msgpack")
-        cpath = os.path.join(exp_dir, "weights_bf16.msgpack")
-        from upcc_tpu.utils.weights_io import load_params
-        if os.path.exists(wpath):
-            params = load_params(template, wpath)
-        elif os.path.exists(cpath):
-            print(f"[{exp}] using compact bf16 snapshot {cpath}")
-            params = load_params(template, cpath)
-        else:
-            print(f"[{exp}] no weights.msgpack — evaluating template params")
-            params = template
-        codec = Codec(model, params)
-        codec.update()
+        # config + weights restore shared with compress.py (codec/io.py;
+        # reference evaluate.py:79-89)
+        codec, _cfg = load_codec(exp_dir)
 
         rows = []
         for seq, spec in TEST_SET.items():

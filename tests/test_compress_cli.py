@@ -1,0 +1,57 @@
+"""File-level CLI round-trip: PLY -> .upcc -> PLY via compress.py.
+
+Exercises upcc_tpu.codec.io.load_codec (the shared experiment loader used
+by evaluate.py and the CLI) plus the streaming codec path end to end on a
+tiny model, including the no-weights template fallback.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+import upcc_tpu  # noqa: F401
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TINY_MODEL = {
+    "entropy_model": {"C_bottleneck": 16, "C_hyper_bottleneck": 24,
+                      "quantization_mode": "ste", "inverse_rescaling": True,
+                      "quantization_offset": True},
+    "g_a": {"C_in": 4, "N1": 16, "N2": 16, "N3": 16, "N4": 16},
+    "g_s": {"C_out": 3, "N1": 16, "N2": 16, "N3": 16, "N4": 16},
+}
+
+
+@pytest.fixture(scope="module")
+def exp_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("exp")
+    (d / "config.yaml").write_text(yaml.safe_dump(
+        {"model": TINY_MODEL, "batch_size": 2}))
+    return str(d)
+
+
+def test_cli_roundtrip(exp_dir, tmp_path):
+    from upcc_tpu.data.ply import read_ply, write_ply
+    from upcc_tpu.data.synthetic import surface_cloud
+
+    rng = np.random.default_rng(7)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=1500)
+    src = str(tmp_path / "in.ply")
+    write_ply(src, xyz, rgb)
+
+    import compress
+
+    bit = str(tmp_path / "out.upcc")
+    compress.main(["encode", src, bit, "--experiment", exp_dir,
+                   "--q", "0.5", "0.5", "--block_size", "64"])
+    assert os.path.getsize(bit) > 0
+
+    rec = str(tmp_path / "rec.ply")
+    compress.main(["decode", bit, rec, "--experiment", exp_dir])
+    rx, rc = read_ply(rec)
+    assert len(rx) > 0
+    assert rx.min() >= 0 and rx.max() < 64
+    assert rc is not None and rc.shape == rx.shape
