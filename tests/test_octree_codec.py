@@ -21,7 +21,7 @@ def test_surface_roundtrip_and_rate():
     codes = np.unique(C.morton_encode_np(xyz.astype(np.int64)))
     nbytes = _roundtrip(codes, 7)
     bpp = nbytes * 8 / len(codes)
-    assert bpp < 6.0  # far below the 21 raw bits/pt
+    assert bpp < 3.0  # v3 contexts: measured ~1.6-1.9 on 128-cubes
 
 
 def test_sparse_random_roundtrip():
@@ -42,6 +42,14 @@ def test_empty():
     assert len(octree.decode(b"", 5, 10)) == 0
 
 
+def test_max_depth_roundtrip():
+    """levels=21 is the coder's depth cap (3*21 = 63 morton bits)."""
+    rng = np.random.default_rng(3)
+    xyz = rng.integers(0, 2 ** 21, (2000, 3)).astype(np.int64)
+    codes = np.unique(C.morton_encode_np(xyz))
+    _roundtrip(codes, 21)
+
+
 def test_stride8_latent_sets():
     """The sets we actually code: 3x-downsampled dense surfaces."""
     from upcc_tpu.data.synthetic import surface_cloud
@@ -50,4 +58,4 @@ def test_stride8_latent_sets():
     codes = np.unique(C.morton_encode_np((xyz // 8).astype(np.int64)))
     nbytes = _roundtrip(codes, 7)
     print(f"stride-8 set: {len(codes)} pts, {nbytes * 8 / len(codes):.2f} bpp")
-    assert nbytes * 8 / len(codes) < 8.0
+    assert nbytes * 8 / len(codes) < 2.5  # v3: measured ~1.1-1.5
