@@ -297,4 +297,6 @@ if __name__ == "__main__":
     ap.add_argument("--anchor", default=None)
     ap.add_argument("--results_path", default="./results")
     a = ap.parse_args()
-    plot_experiments(a.experiments, a.results_path, anchor=a.anchor)
+    anchor = a.anchor or ("gpcc_native"
+                          if "gpcc_native" in a.experiments else None)
+    plot_experiments(a.experiments, a.results_path, anchor=anchor)
