@@ -49,18 +49,28 @@ def main(argv=None):
     ap.add_argument("--scaling_factor", type=float, default=1.0)
     a = ap.parse_args(argv)
 
-    from upcc_tpu.codec.io import load_codec
-    codec, _ = load_codec(a.experiment)
-
     many = len(a.inputs) > 1
     if many:
+        stems = [os.path.splitext(os.path.basename(p))[0] for p in a.inputs]
+        dupes = {s for s in stems if stems.count(s) > 1}
+        if dupes:
+            ap.error(f"duplicate output stems {sorted(dupes)}: inputs from "
+                     "different directories would overwrite each other in "
+                     f"{a.output}")
         os.makedirs(a.output, exist_ok=True)
+
+    from upcc_tpu.codec.io import load_codec
+    codec, _ = load_codec(a.experiment)
 
     def out_path(inp, ext):
         if not many:
             return a.output
         stem = os.path.splitext(os.path.basename(inp))[0]
         return os.path.join(a.output, stem + ext)
+
+    def _read_bytes(p):
+        with open(p, "rb") as f:
+            return f.read()
 
     t0 = time.time()
     if a.mode == "encode":
@@ -75,7 +85,7 @@ def main(argv=None):
             print(f"{inp} -> {dst}  {len(blob)} bytes")
     else:
         from upcc_tpu.data.ply import write_ply
-        blobs = (open(p, "rb").read() for p in a.inputs)
+        blobs = (_read_bytes(p) for p in a.inputs)
         for inp, rec in zip(a.inputs, codec.decompress_stream(blobs)):
             rec = np.asarray(rec)
             dst = out_path(inp, ".ply")

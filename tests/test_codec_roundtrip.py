@@ -90,6 +90,20 @@ def test_bitstream_container_roundtrip():
     assert abs(b["q"][0] - 0.25) < 1e-6
 
 
+def test_bitstream_rejects_old_version():
+    """v2 streams (pre-v3 octree coder) must fail loudly, never decode to
+    silently corrupt coordinates (ADVICE r2: coder/container version skew)."""
+    import pytest
+    from upcc_tpu.codec import bitstream
+    blocks = [{"origin": (0, 0, 0), "levels": 4, "n_y": 1, "n_z": 1,
+               "q": (0.5, 0.5), "k": [1, 1, 1],
+               "coord_bytes": b"x", "y_bytes": b"y", "z_bytes": b"z"}]
+    data = bytearray(bitstream.write_container(None, blocks))
+    data[4] = 2  # forge the old container version
+    with pytest.raises(ValueError, match="version 2"):
+        bitstream.read_container(bytes(data))
+
+
 def test_encoder_decoder_bit_exact(codec):
     """The decoder must recover the exact symbols, entropy parameters and
     coordinates the encoder produced — the invariant the reference's whole

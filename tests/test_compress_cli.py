@@ -12,9 +12,11 @@ import numpy as np
 import pytest
 import yaml
 
-import upcc_tpu  # noqa: F401
-
+# repo root on sys.path BEFORE any repo import: `import compress` (and
+# `import upcc_tpu` when the package isn't installed) both rely on it.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import upcc_tpu  # noqa: F401,E402
 
 TINY_MODEL = {
     "entropy_model": {"C_bottleneck": 16, "C_hyper_bottleneck": 24,
@@ -31,6 +33,19 @@ def exp_dir(tmp_path_factory):
     (d / "config.yaml").write_text(yaml.safe_dump(
         {"model": TINY_MODEL, "batch_size": 2}))
     return str(d)
+
+
+def test_cli_rejects_duplicate_stems(tmp_path):
+    """Two inputs sharing a basename stem must error, not silently
+    overwrite each other's output (ADVICE r2)."""
+    import compress
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(); d2.mkdir()
+    (d1 / "frame.ply").write_bytes(b"")
+    (d2 / "frame.ply").write_bytes(b"")
+    with pytest.raises(SystemExit):
+        compress.main(["encode", str(d1 / "frame.ply"), str(d2 / "frame.ply"),
+                       str(tmp_path / "out")])
 
 
 def test_cli_roundtrip(exp_dir, tmp_path):

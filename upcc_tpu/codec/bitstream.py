@@ -11,7 +11,13 @@ packing instead of the reference's O(n) bit-string concatenation
 import struct
 
 MAGIC = b"UPCC"
-VERSION = 2
+# Version history:
+#   2 — original container, octree coordinate coder v2 (neighbor-count ctx).
+#   3 — octree coordinate coder v3 (causal neighbor-child contexts, KT
+#       counting probabilities): same container layout, incompatible
+#       coord_bytes payload.  Old v2 streams must fail loudly rather than
+#       arithmetic-decode to silently corrupt coordinates.
+VERSION = 3
 
 
 def write_container(path_or_none, blocks, scaling_factor=1.0):
@@ -48,7 +54,11 @@ def read_container(path_or_bytes):
             data = f.read()
     assert data[:4] == MAGIC, "bad magic"
     ver, scaling_factor, n_blocks = struct.unpack_from("<BfI", data, 4)
-    assert ver == VERSION, f"unsupported version {ver}"
+    if ver != VERSION:
+        raise ValueError(
+            f"unsupported bitstream version {ver} (expected {VERSION}); "
+            "version 2 streams use the incompatible v2 octree coordinate "
+            "coder and cannot be decoded by this build")
     pos = 4 + struct.calcsize("<BfI")
     blocks = []
     for _ in range(n_blocks):

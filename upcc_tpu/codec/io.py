@@ -41,7 +41,18 @@ def load_codec(exp_dir, max_batch=None):
 
     wpath = os.path.join(exp_dir, "weights.msgpack")
     cpath = os.path.join(exp_dir, "weights_bf16.msgpack")
-    if os.path.exists(wpath):
+    if os.path.exists(wpath) and os.path.exists(cpath):
+        # Prefer full precision, but never let a stale machine-local f32
+        # file shadow a newer committed bf16 snapshot (ADVICE r2).  The
+        # trainer writes both within one checkpoint, so mtimes within a
+        # minute count as the same save and f32 wins.
+        wm, cm = os.path.getmtime(wpath), os.path.getmtime(cpath)
+        pick = wpath if wm >= cm - 60 else cpath
+        if pick == cpath:
+            print(f"[codec] weights.msgpack is older than the bf16 snapshot "
+                  f"({wm:.0f} < {cm:.0f}) — using {cpath}")
+        params = load_params(template, pick)
+    elif os.path.exists(wpath):
         params = load_params(template, wpath)
     elif os.path.exists(cpath):
         print(f"[codec] using compact bf16 snapshot {cpath}")
