@@ -82,3 +82,72 @@ def test_training_end_to_end(workspace):
     # resume: a new Training picks up from the latest checkpoint
     tr2 = Training(str(cfg_path), capacity=1024, max_steps_per_epoch=1)
     assert tr2.start_epoch == 2
+
+
+def test_trainer_dp_loss_matches_sequential_shards(workspace):
+    """Driver-level DP equivalence on the virtual 8-CPU mesh: the loss the
+    DP trainer reports for one group step must equal the mean of the eight
+    per-shard losses computed independently with the plain (non-shard_map)
+    forward — exercising the trainer's stacking, group re-padding, root-map
+    batching and per-shard q/rng splitting (VERDICT r2 item 2)."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    root, cfg_path = workspace
+    from upcc_tpu.ops import family as F
+    from upcc_tpu.ops.sparse import SparseTensor
+    from upcc_tpu.training.trainer import Training
+
+    # batch_size 1 so the 12-cube dataset fills a full 8-shard group; no
+    # transforms so the replayed batches are bit-identical to the trainer's
+    # (the augmentations draw from a shared RNG stream per __getitem__)
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["batch_size"] = 1
+    cfg["transforms"] = {}
+    cfg["experiment_name"] = "tiny_exp_dp"
+    cfg_path = root / "config_dp.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    tr = Training(str(cfg_path), capacity=1024, max_steps_per_epoch=1)
+    assert tr.n_dp == jax.device_count() == 8
+    params0 = jax.device_get(tr.state.params)
+
+    # replay exactly what train_epoch(epoch) will consume for its one step
+    epoch = tr.start_epoch
+    rng = np.random.default_rng(epoch)
+    key = jax.random.PRNGKey(epoch)
+    _, kq, kn = jax.random.split(key, 3)
+    group = list(itertools.islice(tr._batches(rng), tr.n_dp))
+    assert len(group) == tr.n_dp, "dataset too small for a full DP group"
+    keys, feats, q, lam, rngs, nbrs = tr._dp_group_arrays(group, kq, kn)
+
+    def shard_loss(d):
+        st = SparseTensor(keys=jnp.asarray(keys[d]),
+                          feats=jnp.asarray(feats[d]), stride=1)
+        local_nbrs = jax.tree.map(lambda a: a[d], nbrs)
+        with F.conv_remat():
+            out = tr.model.apply({"params": params0}, st, q[d], lam[d],
+                                 training=True, root_nbrs=local_nbrs,
+                                 rngs={"noise": rngs[d]})
+        main, _ = tr.loss_obj(st, out)
+        aux = tr.model.apply({"params": params0}, method=tr.model.aux_loss)
+        return main + aux
+
+    expected = np.mean([float(jax.jit(shard_loss, static_argnums=0)(d))
+                        for d in range(tr.n_dp)])
+    m = tr.train_epoch(epoch)
+    np.testing.assert_allclose(m["loss"], expected, rtol=2e-4)
+
+    # checkpoints written by the DP trainer must resume on a sequential one
+    tr.save_checkpoint(epoch)
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["data_parallel"] = False
+    seq_cfg = root / "config_seq.yaml"
+    seq_cfg.write_text(yaml.safe_dump(cfg))
+    tr2 = Training(str(seq_cfg), capacity=1024, max_steps_per_epoch=1)
+    assert tr2.n_dp == 1
+    assert tr2.start_epoch == epoch + 1
+    leaves = jax.tree_util.tree_leaves(jax.device_get(tr2.state.params))
+    assert all(np.isfinite(l).all() for l in leaves)

@@ -9,9 +9,13 @@ Parity target: /root/reference/train.py:43-367.
     (compress -> bitstream bytes -> decompress) at the four corner
     qualities and logs bpp/PSNR metrics to val.csv (train.py:244-311)
 
-TPU-native: one jitted train step (or the shard_map data-parallel variant
-when the mesh has >1 device); orbax checkpoints; host-side data pipeline
-feeding fixed-capacity flat batches.
+TPU-native: one jitted train step, auto-upgraded to the shard_map
+data-parallel variant (parallel/data_parallel.py) when the local mesh has
+more than one device — each device consumes one full collated batch and
+gradients pmean over ICI (disable with ``data_parallel: false``); orbax
+checkpoints (host-resident, so single-device resume works regardless of the
+mesh that wrote them); host-side data pipeline feeding fixed-capacity flat
+batches.
 """
 
 import csv
@@ -122,6 +126,21 @@ class Training:
                                 jnp.zeros((), jnp.int32))
         self.step_fn = jax.jit(make_train_step(self.model, self.loss_obj,
                                                self.optimizer))
+        # data parallelism over the local mesh (SURVEY §5.8): each device
+        # consumes one full collated batch, gradients pmean over ICI, one
+        # optimizer update per device group.  `data_parallel: false` forces
+        # the sequential path; "auto" (default) uses all local devices.
+        dp_cfg = cfg.get("data_parallel", "auto")
+        n_dev = jax.device_count()
+        self.n_dp = n_dev if dp_cfg in ("auto", True) and n_dev > 1 else 1
+        if self.n_dp > 1:
+            from ..parallel.data_parallel import make_dp_train_step, make_mesh
+            self.dp_mesh = make_mesh(self.n_dp)
+            self.dp_step_fn = make_dp_train_step(
+                self.model, self.loss_obj, self.optimizer, self.dp_mesh,
+                with_root_nbrs=True)
+            print(f"data-parallel training over {self.n_dp} devices "
+                  f"(global batch {self.n_dp * self.batch_size} cubes)")
         self.start_epoch = 0
         self._maybe_resume()
 
@@ -132,9 +151,11 @@ class Training:
 
     def save_checkpoint(self, epoch):
         path = os.path.join(os.path.abspath(self.ckpt_dir), f"ckpt_{epoch:03d}")
-        payload = {"params": self.state.params,
-                   "opt_state": self.state.opt_state,
-                   "step": self.state.step, "epoch": epoch}
+        # device_get keeps the checkpoint layout mesh-independent: a run on
+        # an 8-device mesh writes the same host arrays a 1-device run does
+        payload = {"params": jax.device_get(self.state.params),
+                   "opt_state": jax.device_get(self.state.opt_state),
+                   "step": jax.device_get(self.state.step), "epoch": epoch}
         if _HAS_ORBAX:
             self._ckptr().save(path, payload, force=True)
         else:  # msgpack fallback
@@ -238,29 +259,95 @@ class Training:
                             if total <= c <= self.capacity), self.capacity)
             yield collate_cubes(items, cap, rng)
 
+    def _seq_step(self, batch, kq, kn):
+        """One single-device update on a collated batch.
+
+        Voxelize once on the host and reuse the keys for the root neighbor
+        maps (a device binary search at these caps costs more than the whole
+        rest of the forward — TPU_NOTES.md).  len(b) is the batch's own
+        capacity (the ladder bucket when batch_bucketing is on) — padding
+        back to the global cap here would undo the bucketing entirely."""
+        b, x, c = batch
+        keys_np, feats_np = voxelize_host_np(b, x, c, len(b))
+        st = SparseTensor(keys=jnp.asarray(keys_np),
+                          feats=jnp.asarray(feats_np), stride=1)
+        root_nbrs = host_root_maps(keys_np, self.config["model"])
+        q, lam = self.q_func.sample(kq, self.batch_size)
+        self.state, metrics = self.step_fn(self.state, st, q, lam, kn,
+                                           root_nbrs)
+        return metrics
+
+    def _dp_group_arrays(self, group, kq, kn):
+        """Stack a group of collated batches along a leading device axis.
+
+        All shards are re-voxelized at the group's max ladder capacity so
+        the stacked arrays are rectangular; each shard draws its own quality
+        pair (the reference samples one scalar q per step, train.py:215 —
+        per-shard q is the DP generalization) and its own noise key."""
+        cap = max(len(b) for b, _, _ in group)
+        keys_l, feats_l, nbrs_l = [], [], []
+        for b, x, c in group:
+            kk, ff = voxelize_host_np(b, x, c, cap)
+            keys_l.append(kk)
+            feats_l.append(ff)
+            nbrs_l.append(host_root_maps(kk, self.config["model"]))
+        keys = np.stack(keys_l)
+        feats = np.stack(feats_l)
+        nbrs = jax.tree.map(lambda *a: jnp.stack(a), *nbrs_l)
+        qs, lams = [], []
+        for kqd in jax.random.split(kq, len(group)):
+            qd, ld = self.q_func.sample(kqd, self.batch_size)
+            qs.append(qd)
+            lams.append(ld)
+        return (keys, feats, jnp.stack(qs), jnp.stack(lams),
+                jax.random.split(kn, len(group)), nbrs)
+
     def train_epoch(self, epoch):
         rng = np.random.default_rng(epoch)
         key = jax.random.PRNGKey(epoch)
         losses = []
         t0 = time.time()
-        for step, (b, x, c) in enumerate(self._batches(rng)):
-            if self.max_steps_per_epoch and step >= self.max_steps_per_epoch:
-                break
-            # voxelize once on the host and reuse the keys for the root
-            # neighbor maps (a device binary search at these caps costs more
-            # than the whole rest of the forward — TPU_NOTES.md)
-            # len(b) is the batch's own capacity (the ladder bucket when
-            # batch_bucketing is on; self.capacity otherwise) — padding back
-            # to the global cap here would undo the bucketing entirely
-            keys_np, feats_np = voxelize_host_np(b, x, c, len(b))
-            st = SparseTensor(keys=jnp.asarray(keys_np),
-                              feats=jnp.asarray(feats_np), stride=1)
-            root_nbrs = host_root_maps(keys_np, self.config["model"])
-            key, kq, kn = jax.random.split(key, 3)
-            q, lam = self.q_func.sample(kq, self.batch_size)
-            self.state, metrics = self.step_fn(self.state, st, q, lam, kn,
-                                               root_nbrs)
-            losses.append(float(metrics["loss"]))
+        gen = self._batches(rng)
+        if self.n_dp > 1:
+            import itertools
+
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.data_parallel import shard_batch
+            sh = NamedSharding(self.dp_mesh, P("data"))
+            step = 0
+            while True:
+                if self.max_steps_per_epoch and step >= self.max_steps_per_epoch:
+                    break
+                group = list(itertools.islice(gen, self.n_dp))
+                if not group:
+                    break
+                key, kq, kn = jax.random.split(key, 3)
+                if len(group) == self.n_dp:
+                    keys, feats, q, lam, rngs, nbrs = self._dp_group_arrays(
+                        group, kq, kn)
+                    keys, feats, q, lam, rngs = shard_batch(
+                        self.dp_mesh, keys, feats, q, lam, rngs)
+                    nbrs = jax.device_put(nbrs, sh)
+                    self.state, metrics = self.dp_step_fn(
+                        self.state, keys, feats, q, lam, rngs, nbrs)
+                    losses.append(float(metrics["loss"]))
+                else:
+                    # trailing remainder (< n_dp batches): sequential updates
+                    # so no cube is ever dropped or double-counted
+                    for batch, (kqd, knd) in zip(group, zip(
+                            jax.random.split(kq, len(group)),
+                            jax.random.split(kn, len(group)))):
+                        m = self._seq_step(batch, kqd, knd)
+                        losses.append(float(m["loss"]))
+                step += 1
+        else:
+            for step, batch in enumerate(gen):
+                if self.max_steps_per_epoch and step >= self.max_steps_per_epoch:
+                    break
+                key, kq, kn = jax.random.split(key, 3)
+                metrics = self._seq_step(batch, kq, kn)
+                losses.append(float(metrics["loss"]))
         return {"loss": float(np.mean(losses)) if losses else float("nan"),
                 "time": time.time() - t0}
 
