@@ -15,7 +15,8 @@ import os
 import numpy as np
 import pandas as pd
 
-from upcc_tpu.eval.bjontegaard import BjontegaardModel, bd_psnr, bd_rate
+from upcc_tpu.eval.bjontegaard import (BjontegaardModel, bd_psnr, bd_rate,
+                                       quality_overlap, rate_overlap)
 
 # test-set -> sequence registry (reference plot/style.py `datasets`)
 DATASETS = {
@@ -215,9 +216,17 @@ def plot_contours(frames, out_dir, metric="bpp"):
         plt.close(fig)
 
 
+# Minimum shared fraction of the BD integration domain (log-rate for
+# BD-PSNR, quality for BD-rate) below which the cubic fits extrapolate
+# and the deltas are reported as NaN instead of garbage like 1e29 %.
+BD_MIN_OVERLAP = 0.2
+
+
 def compute_bd_deltas(frames, anchor, out_dir):
     """BD-rate / BD-PSNR of each run vs the anchor run
-    (reference plot.py:376-436)."""
+    (reference plot.py:376-436).  Rows carry the overlap fractions of the
+    two integration domains; deltas whose domain overlap is below
+    BD_MIN_OVERLAP are NaN by construction."""
     if anchor not in frames:
         return None
     rows = []
@@ -238,8 +247,12 @@ def compute_bd_deltas(frames, anchor, out_dir):
                     continue
                 rows.append({
                     "experiment": exp, "sequence": seq, "metric": mkey,
-                    "bd_rate_%": bd_rate(ca.bpp, ca[mkey], cb.bpp, cb[mkey]),
-                    "bd_psnr_dB": bd_psnr(ca.bpp, ca[mkey], cb.bpp, cb[mkey]),
+                    "bd_rate_%": bd_rate(ca.bpp, ca[mkey], cb.bpp, cb[mkey],
+                                         min_overlap=BD_MIN_OVERLAP),
+                    "bd_psnr_dB": bd_psnr(ca.bpp, ca[mkey], cb.bpp, cb[mkey],
+                                          min_overlap=BD_MIN_OVERLAP),
+                    "overlap_rate": rate_overlap(ca.bpp, cb.bpp),
+                    "overlap_quality": quality_overlap(ca[mkey], cb[mkey]),
                 })
     out = pd.DataFrame(rows)
     if len(out):

@@ -14,9 +14,36 @@ def _fit_and_integrate(x, y, lo, hi, degree=3):
     return (np.polyval(pint, hi) - np.polyval(pint, lo)) / (hi - lo)
 
 
-def bd_psnr(rate_a, psnr_a, rate_b, psnr_b):
-    """Average quality gain of curve B over anchor A (dB) at equal rate."""
+def _overlap_fraction(a, b):
+    """Shared fraction of the union of two 1-D ranges, in [0, 1]."""
+    lo, hi = max(a.min(), b.min()), min(a.max(), b.max())
+    span = max(a.max(), b.max()) - min(a.min(), b.min())
+    return float(max(0.0, hi - lo) / span) if span > 0 else 0.0
+
+
+def rate_overlap(rate_a, rate_b):
+    """Overlap fraction of the two curves' log-rate ranges (the bd_psnr
+    integration domain)."""
+    return _overlap_fraction(np.log10(np.asarray(rate_a, float)),
+                             np.log10(np.asarray(rate_b, float)))
+
+
+def quality_overlap(psnr_a, psnr_b):
+    """Overlap fraction of the two curves' quality ranges (the bd_rate
+    integration domain)."""
+    return _overlap_fraction(np.asarray(psnr_a, float),
+                             np.asarray(psnr_b, float))
+
+
+def bd_psnr(rate_a, psnr_a, rate_b, psnr_b, min_overlap=0.0):
+    """Average quality gain of curve B over anchor A (dB) at equal rate.
+
+    Returns NaN when the curves' log-rate ranges share no more than
+    ``min_overlap`` of their union — integrating a cubic fit outside the
+    fitted range extrapolates wildly and the delta would be meaningless."""
     la, lb = np.log10(np.asarray(rate_a, float)), np.log10(np.asarray(rate_b, float))
+    if _overlap_fraction(la, lb) <= min_overlap:
+        return float("nan")
     lo = max(la.min(), lb.min())
     hi = min(la.max(), lb.max())
     ia = _fit_and_integrate(la, np.asarray(psnr_a, float), lo, hi)
@@ -24,10 +51,15 @@ def bd_psnr(rate_a, psnr_a, rate_b, psnr_b):
     return float(ib - ia)
 
 
-def bd_rate(rate_a, psnr_a, rate_b, psnr_b):
-    """Average rate change of curve B vs anchor A (%) at equal quality."""
+def bd_rate(rate_a, psnr_a, rate_b, psnr_b, min_overlap=0.0):
+    """Average rate change of curve B vs anchor A (%) at equal quality.
+
+    Returns NaN when the quality ranges share no more than ``min_overlap``
+    of their union (see bd_psnr)."""
     la, lb = np.log10(np.asarray(rate_a, float)), np.log10(np.asarray(rate_b, float))
     pa, pb = np.asarray(psnr_a, float), np.asarray(psnr_b, float)
+    if _overlap_fraction(pa, pb) <= min_overlap:
+        return float("nan")
     lo = max(pa.min(), pb.min())
     hi = min(pa.max(), pb.max())
     ia = _fit_and_integrate(pa, la, lo, hi)
