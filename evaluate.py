@@ -88,12 +88,39 @@ ANCHOR_GRIDS = {
 }
 
 
+def make_pcqm(mode, pcqm_max_points):
+    """Select the PCQM implementation for the sweep's ``pcqm`` CSV column.
+
+    'native' (default): the from-the-paper reimplementation
+    (upcc_tpu/eval/pcqm.py).  Its feature weights are reconstructed without
+    access to the upstream source, so ABSOLUTE values are not guaranteed
+    comparable to published PCQM-binary numbers (relative/BD comparisons
+    within this repo are self-consistent).
+    'external': the upstream PCQM binary via upcc_tpu/eval/anchors.py when
+    one is installed (UPCC_PCQM env var), falling back to native with a
+    printed notice — the cross-validation path for real-data runs."""
+    if mode == "external":
+        from upcc_tpu.eval.anchors import pcqm as pcqm_ext
+        state = {"announced": False}
+
+        def f(pc, rec):
+            val, src = pcqm_ext(pc, rec, max_points=pcqm_max_points)
+            if not state["announced"]:
+                print(f"[pcqm] external mode -> source: {src}")
+                state["announced"] = True
+            return val
+        return f
+    from upcc_tpu.eval.pcqm import pcqm
+    return lambda pc, rec: pcqm(pc, rec, max_points=pcqm_max_points)
+
+
 def run_anchor_testset(exp, sequences=None, with_metrics=True,
                        data_root="./data/raw", results_path="./results",
                        max_points=None, allow_synthetic=True, with_pcqm=True,
-                       pcqm_max_points=200_000):
+                       pcqm_max_points=200_000, pcqm_mode="native"):
     from upcc_tpu.codec import raht
     from upcc_tpu.eval.metrics import pc_metrics
+    pcqm_fn = make_pcqm(pcqm_mode, pcqm_max_points)
     grid = ANCHOR_GRIDS[exp]
     exp_dir = os.path.join(results_path, exp)
     os.makedirs(exp_dir, exist_ok=True)
@@ -123,9 +150,7 @@ def run_anchor_testset(exp, sequences=None, with_metrics=True,
                     row.update({k: v for k, v in m.items()
                                 if k.startswith("sym_")})
                     if with_pcqm:
-                        from upcc_tpu.eval.pcqm import pcqm
-                        row["pcqm"] = pcqm(pc, rec,
-                                           max_points=pcqm_max_points)
+                        row["pcqm"] = pcqm_fn(pc, rec)
                 rows.append(row)
                 print(f"[{exp}] {seq} qp={qa} scale={qg} "
                       f"bpp={row['bpp']:.3f}", flush=True)
@@ -141,17 +166,19 @@ def run_anchor_testset(exp, sequences=None, with_metrics=True,
 def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                 data_root="./data/raw", results_path="./results",
                 max_points=None, allow_synthetic=True, with_pcqm=True,
-                pcqm_max_points=200_000, with_renders=True, append=False):
+                pcqm_max_points=200_000, with_renders=True, append=False,
+                pcqm_mode="native"):
     import upcc_tpu  # noqa: F401
     from upcc_tpu.codec.io import load_codec
     from upcc_tpu.eval.metrics import pc_metrics
 
+    pcqm_fn = make_pcqm(pcqm_mode, pcqm_max_points)
     qs = np.linspace(0, 1, q_steps)
     for exp in experiments:
         if exp in ANCHOR_GRIDS:
             run_anchor_testset(exp, sequences, with_metrics, data_root,
                                results_path, max_points, allow_synthetic,
-                               with_pcqm, pcqm_max_points)
+                               with_pcqm, pcqm_max_points, pcqm_mode)
             continue
         exp_dir = os.path.join(results_path, exp)
         # config + weights restore shared with compress.py (codec/io.py;
@@ -187,12 +214,10 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                         row.update({k: v for k, v in m.items()
                                     if k.startswith("sym_")})
                         if with_pcqm:
-                            # native PCQM (reference evaluate.py:156-171 runs
-                            # the PCQM binary; upcc_tpu/eval/pcqm.py is the
-                            # from-the-paper reimplementation)
-                            from upcc_tpu.eval.pcqm import pcqm
-                            row["pcqm"] = pcqm(pc, rec,
-                                               max_points=pcqm_max_points)
+                            # reference evaluate.py:156-171 runs the PCQM
+                            # binary; see make_pcqm for the native/external
+                            # selection and the scale caveat
+                            row["pcqm"] = pcqm_fn(pc, rec)
                     if with_renders and float(qg) == float(qa) \
                             and float(qg) in (qs[0], qs[-1]):
                         # qualitative renders at the corner qualities
@@ -244,6 +269,11 @@ if __name__ == "__main__":
     ap.add_argument("--no_pcqm", action="store_true")
     ap.add_argument("--no_renders", action="store_true")
     ap.add_argument("--pcqm_max_points", type=int, default=200_000)
+    ap.add_argument("--pcqm", choices=["native", "external"],
+                    default="native",
+                    help="'external' uses the upstream PCQM binary "
+                         "(UPCC_PCQM) for cross-validation, falling back "
+                         "to native when absent; see make_pcqm")
     ap.add_argument("--append", action="store_true",
                     help="extend an existing test.csv instead of rewriting "
                          "it (rows for re-run sequences are replaced)")
@@ -253,4 +283,5 @@ if __name__ == "__main__":
                 data_root=a.data_root,
                 allow_synthetic=not a.require_real_data,
                 with_pcqm=not a.no_pcqm, pcqm_max_points=a.pcqm_max_points,
-                with_renders=not a.no_renders, append=a.append)
+                with_renders=not a.no_renders, append=a.append,
+                pcqm_mode=a.pcqm)

@@ -94,3 +94,66 @@ def test_anchor_wrapper_uses_native(cloud):
     val, source = pcqm_anchor(cloud[:3000], cloud[:3000])
     assert source == "native"
     assert val < 1e-9
+
+
+def test_calibration_constant_lightness_shift():
+    """Hand-computable feature pin (VERDICT r2 item 7): identical geometry,
+    uniform gray colors differing by a constant L* shift.  Then every
+    neighborhood satisfies mu_La - mu_Lb = dL exactly, all contrast/
+    structure/chroma/hue/curvature features are 0, and
+    f4 = 1 - 1/(C_LIGHT_CMP * dL^2 + 1) analytically."""
+    from upcc_tpu.eval.pcqm import C_LIGHT_CMP
+    rng = np.random.default_rng(3)
+    xyz, _ = scan_like_cloud(rng, extent=64, n_target=3000)
+    g1, g2 = 0.4, 0.6
+    ref = np.concatenate([xyz.astype(np.float64),
+                          np.full((len(xyz), 3), g1)], axis=1)
+    dist = ref.copy()
+    dist[:, 3:6] = g2
+    dL = (srgb_to_lab(np.array([[g2] * 3]))[0, 0]
+          - srgb_to_lab(np.array([[g1] * 3]))[0, 0])
+    expected_f4 = 1.0 - 1.0 / (C_LIGHT_CMP * dL ** 2 + 1.0)
+
+    feats = pcqm_features(ref, dist)
+    assert abs(feats["light_comparison"] - expected_f4) < 1e-9
+    for name in FEATURE_NAMES:
+        if name != "light_comparison":
+            assert feats[name] < 1e-9, (name, feats[name])
+    # f4 has zero weight in the published model -> total is 0
+    assert pcqm(ref, dist) < 1e-9
+    # isolating f4 via the weights override recovers the analytic value
+    w = tuple(1.0 if n == "light_comparison" else 0.0
+              for n in FEATURE_NAMES)
+    assert abs(pcqm(ref, dist, weights=w) - expected_f4) < 1e-9
+
+
+def test_calibration_constant_chroma_shift():
+    """Gray reference vs constant-chroma distorted colors: every
+    neighborhood satisfies mu_ca - mu_cb = chroma(dist) exactly, so
+    f7 = 1 - 1/(C_CHROMA_CMP * c^2 + 1) analytically — and f7 carries
+    0.8654 of the published model weight, pinning the dominant term."""
+    from upcc_tpu.eval.pcqm import C_CHROMA_CMP, DEFAULT_WEIGHTS
+    rng = np.random.default_rng(4)
+    xyz, _ = scan_like_cloud(rng, extent=64, n_target=3000)
+    ref = np.concatenate([xyz.astype(np.float64),
+                          np.full((len(xyz), 3), 0.5)], axis=1)
+    dist = ref.copy()
+    color = np.array([0.7, 0.4, 0.45])
+    dist[:, 3:6] = color
+    lab = srgb_to_lab(color[None])[0]
+    chroma = np.hypot(lab[1], lab[2])
+    expected_f7 = 1.0 - 1.0 / (C_CHROMA_CMP * chroma ** 2 + 1.0)
+
+    feats = pcqm_features(ref, dist)
+    assert abs(feats["chroma_comparison"] - expected_f7) < 1e-6
+    # the full metric is the documented linear combination of features
+    expected_total = float(np.dot(
+        DEFAULT_WEIGHTS, [feats[n] for n in FEATURE_NAMES]))
+    assert abs(pcqm(ref, dist) - expected_total) < 1e-12
+
+
+def test_identical_zero_survives_subsampling():
+    rng = np.random.default_rng(5)
+    xyz, rgb = scan_like_cloud(rng, extent=128, n_target=5000)
+    pc = np.concatenate([xyz.astype(np.float64), rgb], axis=1)
+    assert pcqm(pc, pc, max_points=1000) < 1e-9

@@ -57,12 +57,13 @@ def compress_gpcc(points6, q_a=34, q_g=0.75, tmp_dir=None):
     return out, bpp, t1 - t0, t2 - t1
 
 
-def pcqm(reference6, reconstruction6, tmp_dir=None):
+def pcqm(reference6, reconstruction6, tmp_dir=None, max_points=None):
     """PCQM perceptual metric.  Runs the upstream PCQM binary when one is
     installed (reference utils.py:270-322, for cross-validation); otherwise
     computes the native from-the-paper reimplementation
     (upcc_tpu/eval/pcqm.py).  Returns (value, source) with source in
-    {"binary", "native"}."""
+    {"binary", "native"}.  max_points bounds the native fallback only
+    (the binary always sees the full clouds)."""
     if os.path.exists(PCQM_BIN):
         import re
         tmp = tmp_dir or tempfile.mkdtemp(prefix="pcqm_")
@@ -76,7 +77,8 @@ def pcqm(reference6, reconstruction6, tmp_dir=None):
         if m:
             return float(m.group(1)), "binary"
     from .pcqm import pcqm as pcqm_native
-    return pcqm_native(reference6, reconstruction6), "native"
+    return pcqm_native(reference6, reconstruction6,
+                       max_points=max_points), "native"
 
 
 def compress_vpcc(points6, rate_preset=1, tmp_dir=None):

@@ -183,8 +183,14 @@ def pcqm(ref6, dist6, radius=0.004, knn=20, weights=DEFAULT_WEIGHTS,
     dist6 = np.asarray(dist6, np.float64)
     if max_points:
         rng = np.random.default_rng(seed)
+        # bit-identical clouds keep identical subsamples so the
+        # identical -> 0 property survives subsampling
+        same = ref6.shape == dist6.shape and np.array_equal(ref6, dist6)
         if len(ref6) > max_points:
-            ref6 = ref6[rng.choice(len(ref6), max_points, replace=False)]
+            sel = rng.choice(len(ref6), max_points, replace=False)
+            ref6 = ref6[sel]
+            if same:
+                dist6 = dist6[sel]
         if len(dist6) > max_points:
             dist6 = dist6[rng.choice(len(dist6), max_points, replace=False)]
     feats = pcqm_features(ref6, dist6, radius=radius, knn=knn)
