@@ -184,3 +184,26 @@ def test_block_parallel_bitstream_equality(monkeypatch):
     assert blob_par == blob_seq
     rec_par = par.decompress(blob_seq)
     np.testing.assert_array_equal(rec_par, rec_seq)
+
+
+def test_multihost_hooks_single_host_noop(monkeypatch):
+    """multihost.initialize is a no-op without coordinates; with them it
+    forwards to jax.distributed.initialize (SURVEY §5.8 DCN clause)."""
+    from upcc_tpu.parallel import multihost
+
+    monkeypatch.setattr(multihost, "_initialized", False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert multihost.initialize() is False
+    assert multihost.is_primary() is True  # single host == process 0
+
+    calls = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.update(kw))
+    assert multihost.initialize(coordinator="10.0.0.1:1234",
+                                num_processes=4, process_id=2) is True
+    assert calls == {"coordinator_address": "10.0.0.1:1234",
+                     "num_processes": 4, "process_id": 2}
+    # idempotent after first success
+    assert multihost.initialize() is True
+    monkeypatch.setattr(multihost, "_initialized", False)

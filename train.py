@@ -15,7 +15,19 @@ def main():
     ap.add_argument("--capacity", default="auto",
                     help="static per-batch point capacity (int or 'auto')")
     ap.add_argument("--max_steps_per_epoch", type=int, default=None)
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed (DCN multi-host) from "
+                         "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                         "JAX_PROCESS_ID before device use; no-op when "
+                         "unset (upcc_tpu/parallel/multihost.py)")
     args = ap.parse_args()
+
+    if args.multihost:
+        from upcc_tpu.parallel.multihost import initialize
+        if initialize():
+            import jax
+            print(f"multihost: process {jax.process_index()} of "
+                  f"{jax.process_count()}, {jax.device_count()} devices")
 
     cap = args.capacity if args.capacity == "auto" else int(args.capacity)
     from upcc_tpu.training.trainer import Training

@@ -150,6 +150,10 @@ class Training:
         return ocp.PyTreeCheckpointer()
 
     def save_checkpoint(self, epoch):
+        # multi-host: only process 0 touches the shared results dir
+        from ..parallel.multihost import is_primary
+        if not is_primary():
+            return
         path = os.path.join(os.path.abspath(self.ckpt_dir), f"ckpt_{epoch:03d}")
         # device_get keeps the checkpoint layout mesh-independent: a run on
         # an 8-device mesh writes the same host arrays a 1-device run does
@@ -381,7 +385,8 @@ class Training:
                     from ..eval.render import render_pointcloud
                     render_pointcloud(rec, path_prefix=os.path.join(
                         render_dir, f"ep{epoch:03d}_q{qg}{qa}"))
-        if rows:
+        from ..parallel.multihost import is_primary
+        if rows and is_primary():
             path = os.path.join(self.results_dir, "val.csv")
             write_header = not os.path.exists(path)
             with open(path, "a", newline="") as f:
