@@ -261,7 +261,14 @@ class Codec:
                  scaling_factor=1.0):
         """pointcloud: numpy [N, 6] (xyz int, rgb in [0,1]). q: (q_g, q_a).
 
-        Returns container bytes (or writes to path)."""
+        Returns container bytes (or writes to path).
+
+        block_size is capped at 1024 (vs the reference API's unchecked
+        argument, model/model.py:94): block-local Morton codes ride the
+        compact int32 device-upload format, which holds 3x10 coordinate
+        bits.  The whole eval protocol uses 1024/512 (evaluate.py:43-46);
+        larger inputs are covered by more blocks, or pre-scale with
+        scaling_factor."""
         assert self.tables is not None, "call update() first"
         # block-local morton codes must fit int32 for the compact upload
         # format (the reference's eval uses block sizes 1024/512 too,
