@@ -407,3 +407,48 @@ def test_to_brick_gather_matches_scatter():
         F.BRICK_GATHER = old
     # compare everything except the (arbitrary, caller-sliced) dump row
     np.testing.assert_array_equal(np.asarray(got)[:p], np.asarray(ref)[:p])
+
+
+def test_tap_group_matches_scan():
+    """Tap-grouped accumulation (TAP_GROUP) must match the tap scan for
+    every conv kernel, at every group size including non-divisors of 27
+    (zero-padded taps).  Grouped f32 reductions change accumulation order,
+    so the tolerance is f32-rounding-level."""
+    from upcc_tpu.ops import family as F
+    rng = np.random.default_rng(23)
+    g, cin, cout = 1024, 16, 8
+    nbr_idx = jnp.asarray(rng.integers(0, g, (g, 27)).astype(np.int32))
+    nbr_ok = jnp.asarray(rng.random((g, 27)) < 0.8)
+    brick = jnp.asarray(rng.standard_normal((g, 8, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((125, cin, cout)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((g, cin)).astype(np.float32))
+    valid = jnp.ones((g,), bool)
+
+    def runs():
+        out = {}
+        out["grand"] = jax.jit(lambda: F.grand_apply(
+            (nbr_idx, nbr_ok), brick, w, 5, "transpose"))()
+        out["transpose"] = jax.jit(lambda: F.family_transpose_up(
+            (nbr_idx, nbr_ok), feats, valid, w, 5))()
+        fm = F.FamilyMap(parent_keys=jnp.arange(g, dtype=jnp.int64) * 8,
+                         point_parent=jnp.arange(g, dtype=jnp.int32),
+                         point_slot=jnp.zeros((g,), jnp.int32),
+                         nbr_idx=nbr_idx, nbr_ok=nbr_ok)
+        out["conv"] = jax.jit(lambda: F.family_conv(
+            fm, feats, valid, w, 5))()
+        out["down"] = jax.jit(lambda: F.family_down_conv(
+            fm, feats, valid, w, 5))()
+        return out
+
+    ref = runs()
+    old = F.TAP_GROUP
+    try:
+        for grp in (3, 4, 9):  # 27 % 4 != 0 exercises the tap padding
+            F.TAP_GROUP = grp
+            got = runs()
+            for k in ref:
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), np.asarray(ref[k]),
+                    rtol=1e-4, atol=1e-4, err_msg=f"{k} group={grp}")
+    finally:
+        F.TAP_GROUP = old

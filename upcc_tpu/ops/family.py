@@ -594,6 +594,18 @@ TAP_TILE = 1024
 TAP_BIGMM = False
 TAP_BIGMM_MAXTMP = 4 << 30  # bytes of gathered-stack temp allowed
 
+# Tap-GROUPED accumulation: the middle ground between the scan (27 acc
+# round-trips) and TAP_BIGMM (whole [rows, 27, K_in] stack resident).
+# Scan over T/g groups; each step gathers g taps into [rows, g, K_in] and
+# contracts (g, K_in) in ONE dot_general, so the f32 accumulator round-
+# trips HBM only 2*(T/g) times instead of 2*T, while the materialized
+# gather temp is bounded at rows*g*K_in*2 B per step.  g must divide the
+# (zero-padded) tap count; 27 taps pad to 28 for g=4, etc.  Accumulation
+# order differs from the plain scan (grouped f32 reductions) — same
+# f32-rounding caveat as TAP_BIGMM, encoder/decoder share graphs.
+# 1 disables (plain scan).  Flipped per-process by bench/codec A/Bs.
+TAP_GROUP = 1
+
 
 def _tap_scan_gemm(flat, n_src, nbr_idx, nbr_ok, wstack, compute_dtype):
     """acc[r] = sum_k (flat[nbr_idx[r, k]] * ok[r, k]) @ wstack[k].
@@ -622,6 +634,33 @@ def _tap_scan_gemm(flat, n_src, nbr_idx, nbr_ok, wstack, compute_dtype):
             gathered, wstack,
             dimension_numbers=(((1, 2), (0, 1)), ((), ())),
             preferred_element_type=jnp.float32)
+    if TAP_GROUP > 1 and taps > TAP_GROUP:
+        g = TAP_GROUP
+        pad = (-taps) % g
+        if pad:
+            nbr_idx = jnp.concatenate(
+                [nbr_idx, jnp.zeros((rows, pad), nbr_idx.dtype)], 1)
+            nbr_ok = jnp.concatenate(
+                [nbr_ok, jnp.zeros((rows, pad), nbr_ok.dtype)], 1)
+            wstack = jnp.concatenate(
+                [wstack, jnp.zeros((pad,) + wstack.shape[1:],
+                                   wstack.dtype)], 0)
+        n_groups = (taps + pad) // g
+        idx_g = nbr_idx.reshape(rows, n_groups, g).transpose(1, 0, 2)
+        ok_g = nbr_ok.reshape(rows, n_groups, g).transpose(1, 0, 2)
+        w_g = wstack.reshape(n_groups, g, k_in, k_out)
+
+        def gstep(acc, inp):
+            ni, ok, wk = inp  # [rows, g], [rows, g], [g, K_in, K_out]
+            nb = flat[jnp.minimum(ni, n_src - 1)] \
+                * ok[..., None].astype(compute_dtype)  # [rows, g, K_in]
+            return acc + jax.lax.dot_general(
+                nb, wk, dimension_numbers=(((1, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32), None
+
+        acc0 = jnp.zeros((rows, k_out), jnp.float32)
+        acc, _ = jax.lax.scan(gstep, acc0, (idx_g, ok_g, w_g))
+        return acc
     if TAP_TILED and rows % TAP_TILE == 0 and rows >= 2 * TAP_TILE:
         t = TAP_TILE
         idx_t = nbr_idx.reshape(rows // t, t, taps)
