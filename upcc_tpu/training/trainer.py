@@ -306,10 +306,24 @@ class Training:
         return (keys, feats, jnp.stack(qs), jnp.stack(lams),
                 jax.random.split(kn, len(group)), nbrs)
 
+    # Bounded dispatch lookahead: metrics are fetched one step late, so the
+    # host prepares batch k+1 (getitem/transforms/voxelize/root maps) and
+    # pays the tunnel round-trip while the device still runs step k.  Depth
+    # 2 bounds the queued step inputs living in HBM.
+    _PIPELINE_DEPTH = 2
+
     def train_epoch(self, epoch):
+        from collections import deque
         rng = np.random.default_rng(epoch)
         key = jax.random.PRNGKey(epoch)
         losses = []
+        pending = deque()
+
+        def push(metrics):
+            pending.append(metrics)
+            if len(pending) >= self._PIPELINE_DEPTH:
+                losses.append(float(pending.popleft()["loss"]))
+
         t0 = time.time()
         gen = self._batches(rng)
         if self.n_dp > 1:
@@ -335,23 +349,23 @@ class Training:
                     nbrs = jax.device_put(nbrs, sh)
                     self.state, metrics = self.dp_step_fn(
                         self.state, keys, feats, q, lam, rngs, nbrs)
-                    losses.append(float(metrics["loss"]))
+                    push(metrics)
                 else:
                     # trailing remainder (< n_dp batches): sequential updates
                     # so no cube is ever dropped or double-counted
                     for batch, (kqd, knd) in zip(group, zip(
                             jax.random.split(kq, len(group)),
                             jax.random.split(kn, len(group)))):
-                        m = self._seq_step(batch, kqd, knd)
-                        losses.append(float(m["loss"]))
+                        push(self._seq_step(batch, kqd, knd))
                 step += 1
         else:
             for step, batch in enumerate(gen):
                 if self.max_steps_per_epoch and step >= self.max_steps_per_epoch:
                     break
                 key, kq, kn = jax.random.split(key, 3)
-                metrics = self._seq_step(batch, kq, kn)
-                losses.append(float(metrics["loss"]))
+                push(self._seq_step(batch, kq, kn))
+        while pending:
+            losses.append(float(pending.popleft()["loss"]))
         return {"loss": float(np.mean(losses)) if losses else float("nan"),
                 "time": time.time() - t0}
 
