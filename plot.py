@@ -222,11 +222,32 @@ def plot_contours(frames, out_dir, metric="bpp"):
 BD_MIN_OVERLAP = 0.2
 
 
-def compute_bd_deltas(frames, anchor, out_dir):
+def anchor_bd_curve(a_seq, mkey, rate_lo, rate_hi):
+    """Anchor RD curve for BD integration as the Pareto front over `mkey`,
+    restricted to a padded rate window around the candidate curve.
+
+    The style-registry BD points mirror the reference's real-data qp
+    pairs (plot/style.py:49-50); on other content (e.g. the synthetic
+    stand-in frames) those pairs can land far outside the candidate's
+    rate range and the BD domains never overlap.  The anchor sweep itself
+    spans the full grid, so selecting its Pareto rows inside
+    [rate_lo/2, 2*rate_hi] yields a bracketing anchor curve wherever the
+    grid covers the candidate."""
+    front = get_pareto_df(a_seq, metric=mkey)
+    win = front[(front.bpp >= rate_lo * 0.5) & (front.bpp <= rate_hi * 2.0)]
+    return win if len(win) >= 2 else front
+
+
+def compute_bd_deltas(frames, anchor, out_dir, anchor_points="style"):
     """BD-rate / BD-PSNR of each run vs the anchor run
     (reference plot.py:376-436).  Rows carry the overlap fractions of the
     two integration domains; deltas whose domain overlap is below
-    BD_MIN_OVERLAP are NaN by construction."""
+    BD_MIN_OVERLAP are NaN by construction.
+
+    anchor_points: "style" uses the registry's fixed (q_g, q_a) pairs
+    (reference protocol); "pareto" uses anchor_bd_curve (grid Pareto front
+    inside the candidate's rate window — the right mode when the content
+    differs from what the style pairs were calibrated on)."""
     if anchor not in frames:
         return None
     rows = []
@@ -238,10 +259,14 @@ def compute_bd_deltas(frames, anchor, out_dir):
             if mkey not in df or mkey not in a_df:
                 continue
             for seq in sorted(set(df.sequence) & set(a_df.sequence)):
-                ca = bd_curve(a_df[a_df.sequence == seq],
-                              bd_points_for(anchor, seq))
                 cb = bd_curve(df[df.sequence == seq],
                               bd_points_for(exp, seq))
+                if anchor_points == "pareto" and len(cb):
+                    ca = anchor_bd_curve(a_df[a_df.sequence == seq], mkey,
+                                         cb.bpp.min(), cb.bpp.max())
+                else:
+                    ca = bd_curve(a_df[a_df.sequence == seq],
+                                  bd_points_for(anchor, seq))
                 if len(ca) < 2 or len(cb) < 2 \
                         or ca[mkey].isna().any() or cb[mkey].isna().any():
                     continue
@@ -253,6 +278,7 @@ def compute_bd_deltas(frames, anchor, out_dir):
                                           min_overlap=BD_MIN_OVERLAP),
                     "overlap_rate": rate_overlap(ca.bpp, cb.bpp),
                     "overlap_quality": quality_overlap(ca[mkey], cb[mkey]),
+                    "anchor_points": anchor_points,
                 })
     out = pd.DataFrame(rows)
     if len(out):
@@ -280,7 +306,8 @@ def compute_times(frames, out_dir):
 
 
 def plot_experiments(experiments, results_path="./results",
-                     out_dir="./results/plots", anchor=None):
+                     out_dir="./results/plots", anchor=None,
+                     anchor_points="style"):
     frames = load_csvs(experiments, results_path)
     if not frames:
         print("no test.csv found for", experiments)
@@ -298,7 +325,8 @@ def plot_experiments(experiments, results_path="./results",
         if metric in first:
             plot_contours(frames, out_dir, metric=metric)
     if anchor:
-        compute_bd_deltas(frames, anchor, out_dir)
+        compute_bd_deltas(frames, anchor, out_dir,
+                          anchor_points=anchor_points)
     compute_times(frames, out_dir)
     print("plots written to", out_dir)
 
@@ -308,8 +336,16 @@ if __name__ == "__main__":
     ap.add_argument("--experiments", nargs="+",
                     default=["CVPR_inverse_scaling"])
     ap.add_argument("--anchor", default=None)
+    ap.add_argument("--anchor_points", choices=["style", "pareto"],
+                    default="style",
+                    help="BD anchor curve: fixed style-registry pairs "
+                         "(reference protocol) or the anchor grid's "
+                         "Pareto front inside the candidate's rate window "
+                         "(use on content the style pairs were not "
+                         "calibrated for)")
     ap.add_argument("--results_path", default="./results")
     a = ap.parse_args()
     anchor = a.anchor or ("gpcc_native"
                           if "gpcc_native" in a.experiments else None)
-    plot_experiments(a.experiments, a.results_path, anchor=anchor)
+    plot_experiments(a.experiments, a.results_path, anchor=anchor,
+                     anchor_points=a.anchor_points)

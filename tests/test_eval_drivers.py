@@ -143,3 +143,46 @@ def test_anchor_testset_gpcc_native(tmp_path, monkeypatch):
     hi = df[(df.q_a == 22) & (df.q_g == 1.0)].iloc[0]
     lo = df[(df.q_a == 40) & (df.q_g == 1.0)].iloc[0]
     assert hi.sym_y_psnr > lo.sym_y_psnr and hi.bpp > lo.bpp
+
+
+def test_bd_anchor_pareto_mode(tmp_path):
+    """When the anchor's style BD points sit far outside the candidate's
+    rate range (zero overlap -> NaN), anchor_points='pareto' selects the
+    anchor grid's Pareto front inside the candidate's rate window and
+    yields finite deltas (round-3 synthetic-content fix)."""
+    import pandas as pd
+
+    import plot as plot_mod
+
+    # candidate: narrow low-rate curve at loot
+    rows = []
+    for qg, qa in plot_mod._OURS_BD["8iVFBv2"]:
+        bpp = 0.3 + 0.7 * qg
+        rows.append({"sequence": "loot", "q_g": qg, "q_a": qa, "bpp": bpp,
+                     "sym_y_psnr": 24 + 6 * qg})
+    cand = pd.DataFrame(rows)
+    # anchor: wide grid whose style pairs (0.5,40)... land at high rates
+    arows = []
+    for qg in [0.0625, 0.125, 0.25, 0.5, 0.75, 0.875, 0.9375]:
+        for qa in [51, 46, 40, 34, 28, 22]:
+            bpp = 12 * qg ** 2 + (51 - qa) * 0.02
+            arows.append({"sequence": "loot", "q_g": qg, "q_a": qa,
+                          "bpp": bpp,
+                          "sym_y_psnr": 18 + 14 * qg + (51 - qa) * 0.1})
+    anch = pd.DataFrame(arows)
+
+    frames = {"ours": cand, "gpcc_native": anch}
+    out_style = plot_mod.compute_bd_deltas(frames, "gpcc_native",
+                                           str(tmp_path / "s"),
+                                           anchor_points="style")
+    out_par = plot_mod.compute_bd_deltas(frames, "gpcc_native",
+                                         str(tmp_path / "p"),
+                                         anchor_points="pareto")
+    sy_style = out_style[out_style.metric == "sym_y_psnr"].iloc[0]
+    sy_par = out_par[out_par.metric == "sym_y_psnr"].iloc[0]
+    # style pairs are out of range -> NaN with ~no overlap
+    assert np.isnan(sy_style["bd_psnr_dB"]) or sy_style.overlap_rate < 0.2
+    # pareto anchor brackets the candidate -> finite deltas
+    assert np.isfinite(sy_par["bd_psnr_dB"])
+    assert sy_par.overlap_rate > 0.5
+    assert sy_par.anchor_points == "pareto"
