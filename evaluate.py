@@ -109,9 +109,17 @@ def make_pcqm(mode, pcqm_max_points):
                 print(f"[pcqm] external mode -> source: {src}")
                 state["announced"] = True
             return val
+        # the binary re-reads the reference PLY per call; nothing to cache
+        f.prepare = lambda pc: pc
         return f
-    from upcc_tpu.eval.pcqm import pcqm
-    return lambda pc, rec: pcqm(pc, rec, max_points=pcqm_max_points)
+    from upcc_tpu.eval.pcqm import PreparedRef, pcqm
+
+    def f(pc, rec):
+        return pcqm(pc, rec, max_points=pcqm_max_points)
+    # per-sequence reference-side cache (curvature fit, KD-tree, weights):
+    # the sweep holds the source frame fixed across the whole q grid
+    f.prepare = lambda pc: PreparedRef(pc, max_points=pcqm_max_points)
+    return f
 
 
 def run_anchor_testset(exp, sequences=None, with_metrics=True,
@@ -119,7 +127,7 @@ def run_anchor_testset(exp, sequences=None, with_metrics=True,
                        max_points=None, allow_synthetic=True, with_pcqm=True,
                        pcqm_max_points=200_000, pcqm_mode="native"):
     from upcc_tpu.codec import raht
-    from upcc_tpu.eval.metrics import pc_metrics
+    from upcc_tpu.eval.metrics import PreparedSource, pc_metrics
     pcqm_fn = make_pcqm(pcqm_mode, pcqm_max_points)
     grid = ANCHOR_GRIDS[exp]
     exp_dir = os.path.join(results_path, exp)
@@ -133,6 +141,9 @@ def run_anchor_testset(exp, sequences=None, with_metrics=True,
         if max_points and len(pc) > max_points:
             pc = pc[np.random.default_rng(0).choice(
                 len(pc), max_points, replace=False)]
+        src_prep = PreparedSource(pc) if with_metrics else None
+        pcqm_ref = pcqm_fn.prepare(pc) \
+            if (with_metrics and with_pcqm) else None
         for qg in grid["q_gs"]:
             for qa in grid["q_as"]:
                 t0 = time.time()
@@ -146,11 +157,11 @@ def run_anchor_testset(exp, sequences=None, with_metrics=True,
                        "t_compress": t1 - t0, "t_decompress": t2 - t1,
                        "num_points": len(pc), "synthetic": int(synthetic)}
                 if with_metrics:
-                    m = pc_metrics(pc, rec, spec["resolution"])
+                    m = pc_metrics(src_prep, rec, spec["resolution"])
                     row.update({k: v for k, v in m.items()
                                 if k.startswith("sym_")})
                     if with_pcqm:
-                        row["pcqm"] = pcqm_fn(pc, rec)
+                        row["pcqm"] = pcqm_fn(pcqm_ref, rec)
                 rows.append(row)
                 print(f"[{exp}] {seq} qp={qa} scale={qg} "
                       f"bpp={row['bpp']:.3f}", flush=True)
@@ -170,7 +181,7 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                 pcqm_mode="native"):
     import upcc_tpu  # noqa: F401
     from upcc_tpu.codec.io import load_codec
-    from upcc_tpu.eval.metrics import pc_metrics
+    from upcc_tpu.eval.metrics import PreparedSource, pc_metrics
 
     pcqm_fn = make_pcqm(pcqm_mode, pcqm_max_points)
     qs = np.linspace(0, 1, q_steps)
@@ -194,6 +205,9 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
             if max_points and len(pc) > max_points:
                 pc = pc[np.random.default_rng(0).choice(
                     len(pc), max_points, replace=False)]
+            src_prep = PreparedSource(pc) if with_metrics else None
+            pcqm_ref = pcqm_fn.prepare(pc) \
+                if (with_metrics and with_pcqm) else None
             for qg in qs:
                 for qa in qs:
                     t0 = time.time()
@@ -210,14 +224,14 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                            "num_points": len(pc),
                            "synthetic": int(synthetic)}
                     if with_metrics:
-                        m = pc_metrics(pc, rec, spec["resolution"])
+                        m = pc_metrics(src_prep, rec, spec["resolution"])
                         row.update({k: v for k, v in m.items()
                                     if k.startswith("sym_")})
                         if with_pcqm:
                             # reference evaluate.py:156-171 runs the PCQM
                             # binary; see make_pcqm for the native/external
                             # selection and the scale caveat
-                            row["pcqm"] = pcqm_fn(pc, rec)
+                            row["pcqm"] = pcqm_fn(pcqm_ref, rec)
                     if with_renders and float(qg) == float(qa) \
                             and float(qg) in (qs[0], qs[-1]):
                         # qualitative renders at the corner qualities

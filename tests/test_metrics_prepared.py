@@ -1,0 +1,91 @@
+"""Prepared-source metric caching (PreparedSource / PreparedRef).
+
+Contract: passing a prepared source/reference into pc_metrics / pcqm is
+bit-identical to passing the raw array — the cache only hoists per-call
+invariants (KD-tree, PCA normals, curvature fit, Gaussian weights) out of
+the q-grid sweep loop (reference protocol: 11x11 grid per sequence,
+/root/reference/evaluate.py:76-77, with per-call pc_error/PCQM subprocesses;
+here the metrics are native so the invariants can be shared).
+"""
+
+import numpy as np
+import pytest
+
+from upcc_tpu.data.synthetic import scan_like_cloud
+from upcc_tpu.eval.metrics import PreparedSource, pc_metrics
+from upcc_tpu.eval.pcqm import PreparedRef, pcqm
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.default_rng(11)
+    xyz, rgb = scan_like_cloud(rng, extent=128, n_target=3_000)
+    src = np.concatenate([xyz, rgb], axis=1)
+    recs = []
+    for s in (1, 2):
+        r = np.random.default_rng(s)
+        rec = src[r.random(len(src)) > 0.1].copy()
+        rec[:, :3] += r.normal(0, 0.4, (len(rec), 3))
+        rec[:, 3:] = np.clip(rec[:, 3:] + r.normal(0, 0.03, (len(rec), 3)),
+                             0, 1)
+        recs.append(rec)
+    return src, recs
+
+
+def test_pc_metrics_prepared_bit_identical(clouds):
+    src, recs = clouds
+    prep = PreparedSource(src)
+    for rec in recs:  # reuse across calls, like the sweep loop
+        a = pc_metrics(src, rec, 127)
+        b = pc_metrics(prep, rec, 127)
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == b[k], k
+
+
+def test_pc_metrics_prepared_no_d2(clouds):
+    src, recs = clouds
+    prep = PreparedSource(src, with_d2=False)
+    a = pc_metrics(src, recs[0], 127, with_d2=False)
+    b = pc_metrics(prep, recs[0], 127, with_d2=False)
+    assert a == b
+    assert "sym_d2_psnr" not in b
+    # lazily upgraded when a with_d2 call reuses the same prepared source
+    c = pc_metrics(prep, recs[0], 127, with_d2=True)
+    assert c["sym_d2_psnr"] == pc_metrics(src, recs[0], 127)["sym_d2_psnr"]
+
+
+def test_pcqm_prepared_bit_identical_no_subsample(clouds):
+    src, recs = clouds
+    prep = PreparedRef(src)
+    for rec in recs:
+        assert pcqm(prep, rec) == pcqm(src, rec)
+
+
+def test_pcqm_prepared_bit_identical_with_subsample(clouds):
+    src, recs = clouds
+    mp = 2_000  # < len(src) and < len(rec): both sides get subsampled
+    prep = PreparedRef(src, max_points=mp)
+    assert prep.sel is not None
+    for rec in recs:
+        a = pcqm(src, rec, max_points=mp)
+        b = pcqm(prep, rec, max_points=mp)
+        assert a == b
+
+
+def test_pcqm_prepared_identical_clouds_zero(clouds):
+    src, _ = clouds
+    mp = 2_000
+    prep = PreparedRef(src, max_points=mp)
+    # shared-subsample semantics: identical clouds stay identical after
+    # subsampling, so the prepared path preserves identical -> 0
+    assert pcqm(prep, src.copy(), max_points=mp) == pytest.approx(0.0, abs=1e-12)
+    assert pcqm(prep, src.copy(), max_points=mp) == pcqm(src, src.copy(),
+                                                         max_points=mp)
+
+
+def test_pcqm_prepared_tiny_dist_falls_back(clouds):
+    src, _ = clouds
+    prep = PreparedRef(src)
+    tiny = src[:10]  # fewer points than the prepared k -> uncached fallback
+    assert pcqm(prep, tiny) == pcqm(src, tiny)

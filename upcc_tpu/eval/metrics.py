@@ -32,9 +32,13 @@ def rgb_to_yuv_bt709(rgb01):
     return yuv
 
 
-def estimate_normals(points, k=16):
-    """PCA normals from k nearest neighbors (unoriented)."""
-    tree = cKDTree(points)
+def estimate_normals(points, k=16, tree=None):
+    """PCA normals from k nearest neighbors (unoriented).
+
+    tree: optional prebuilt cKDTree over ``points`` (avoids a rebuild when
+    the caller already has one, e.g. PreparedSource)."""
+    if tree is None:
+        tree = cKDTree(points)
     _, idx = tree.query(points, k=min(k, len(points)))
     nb = points[idx]  # [N, k, 3]
     nb = nb - nb.mean(axis=1, keepdims=True)
@@ -83,16 +87,47 @@ def _directional(a_pts, a_col, b_pts, b_col, b_tree, resolution,
     return out
 
 
+class PreparedSource:
+    """Precomputed source-side structures for repeated pc_metrics calls.
+
+    In a q-grid sweep (the reference's protocol is 11x11 per sequence,
+    /root/reference/evaluate.py:76-77) the source frame never changes while
+    the reconstruction does; the source KD-tree and PCA normals dominate the
+    per-call cost.  Build once per sequence and pass in place of ``source``:
+
+        prep = PreparedSource(pc)
+        for rec in reconstructions:
+            pc_metrics(prep, rec, resolution)
+
+    Results are bit-identical to passing the raw array."""
+
+    def __init__(self, source, with_d2=True):
+        src = np.asarray(source, np.float64)
+        self.pts = src[:, :3]
+        self.col = src[:, 3:6] if src.shape[1] >= 6 else None
+        self.tree = cKDTree(self.pts)
+        self.normals = (estimate_normals(self.pts, tree=self.tree)
+                        if with_d2 else None)
+
+    def ensure_normals(self):
+        if self.normals is None:
+            self.normals = estimate_normals(self.pts, tree=self.tree)
+        return self.normals
+
+
 def pc_metrics(source, reconstruction, resolution, with_d2=True):
     """source/reconstruction: [N, 6] arrays (xyz, rgb in [0,1]) or (xyz, None).
+    ``source`` may be a PreparedSource to reuse its KD-tree/normals across
+    calls (sweeps).
 
     Returns a dict with AB_/BA_/sym_ prefixed metrics, reference naming."""
-    src = np.asarray(source, np.float64)
+    prep = source if isinstance(source, PreparedSource) \
+        else PreparedSource(source, with_d2=with_d2)
     rec = np.asarray(reconstruction, np.float64)
-    s_pts, s_col = src[:, :3], (src[:, 3:6] if src.shape[1] >= 6 else None)
+    s_pts, s_col = prep.pts, prep.col
     r_pts, r_col = rec[:, :3], (rec[:, 3:6] if rec.shape[1] >= 6 else None)
-    s_tree, r_tree = cKDTree(s_pts), cKDTree(r_pts)
-    s_nrm = estimate_normals(s_pts) if with_d2 else None
+    s_tree, r_tree = prep.tree, cKDTree(r_pts)
+    s_nrm = prep.ensure_normals() if with_d2 else None
 
     ab = _directional(s_pts, s_col, r_pts, r_col, r_tree, resolution)
     ba = _directional(r_pts, r_col, s_pts, s_col, s_tree, resolution,

@@ -112,30 +112,75 @@ def _wcov(a, b, mua, mub, w):
     return (w * (a - mua[:, None]) * (b - mub[:, None])).sum(1)
 
 
+class PreparedRef:
+    """Precomputed reference-side PCQM structures for q-grid sweeps.
+
+    The reference cloud is fixed across a sweep while the distorted cloud
+    changes; its curvature fit, CIELAB conversion, KD-tree, self-kNN and
+    Gaussian weights are per-call invariants.  Build once per sequence with
+    the same (radius, knn, max_points, seed) you would pass to pcqm() and
+    pass in place of ``ref6``; results are bit-identical to the raw-array
+    path whenever the distorted cloud has >= the prepared k points (always
+    true at sweep scales) and differs from the reference cloud."""
+
+    def __init__(self, ref6, radius=0.004, knn=20, max_points=None, seed=0):
+        ref6 = np.asarray(ref6, np.float64)
+        self.full_shape = ref6.shape
+        rng = np.random.default_rng(seed)
+        self.sel = None
+        if max_points and len(ref6) > max_points:
+            self.sel = rng.choice(len(ref6), max_points, replace=False)
+            ref6 = ref6[self.sel]
+        # rng state AFTER the reference draw: the distorted cloud's
+        # subsample in pcqm() continues from here, matching the uncached
+        # sequence of draws exactly
+        self.rng_state = rng.bit_generator.state
+        self.max_points = max_points
+        self.ref6 = ref6
+        self.radius = radius
+        rp, rc = ref6[:, :3], ref6[:, 3:6]
+        self.scale = max(float(np.ptp(rp, axis=0).max()), EPS)
+        self.rp = rp / self.scale
+        self.k = min(knn, len(self.rp))
+        self.kr = mean_curvature(self.rp, k=self.k)
+        self.lab_r = srgb_to_lab(rc)
+        self.rtree = cKDTree(self.rp)
+        self.nd, self.nbr = self.rtree.query(self.rp, k=self.k)
+        w = np.exp(-self.nd ** 2 / (2 * radius ** 2)).astype(np.float64)
+        self.w = w / np.maximum(w.sum(1, keepdims=True), EPS)
+
+
 def pcqm_features(ref6, dist6, radius=0.004, knn=20):
     """The eight PCQM features, each a scalar in [0, 1] averaged over the
-    reference cloud.  ref6/dist6: [N, 6] xyz + rgb (rgb in [0,1])."""
-    ref6 = np.asarray(ref6, np.float64)
+    reference cloud.  ref6/dist6: [N, 6] xyz + rgb (rgb in [0,1]); ref6 may
+    be a PreparedRef built with the same radius/knn."""
     dist6 = np.asarray(dist6, np.float64)
-    rp, rc = ref6[:, :3], ref6[:, 3:6]
     dp, dc = dist6[:, :3], dist6[:, 3:6]
-    scale = max(float(np.ptp(rp, axis=0).max()), EPS)
-    rp = rp / scale
+    prep = ref6 if isinstance(ref6, PreparedRef) else None
+    if prep is not None and len(dp) >= prep.k:
+        kr, lab_r, nd, nbr, w, k = \
+            prep.kr, prep.lab_r, prep.nd, prep.nbr, prep.w, prep.k
+        rp, scale = prep.rp, prep.scale
+    else:
+        ref6 = np.asarray(prep.ref6 if prep is not None else ref6, np.float64)
+        rp, rc = ref6[:, :3], ref6[:, 3:6]
+        scale = max(float(np.ptp(rp, axis=0).max()), EPS)
+        rp = rp / scale
+        k = min(knn, len(rp), len(dp))
+        kr = mean_curvature(rp, k=k)
+        lab_r = srgb_to_lab(rc)
+        rtree = cKDTree(rp)
+        nd, nbr = rtree.query(rp, k=k)                     # [N, k]
+        w = np.exp(-nd ** 2 / (2 * radius ** 2)).astype(np.float64)
+        w /= np.maximum(w.sum(1, keepdims=True), EPS)
     dp = dp / scale
 
-    k = min(knn, len(rp), len(dp))
-    kr = mean_curvature(rp, k=k)
     kd = mean_curvature(dp, k=k)
-    lab_r = srgb_to_lab(rc)
     lab_d = srgb_to_lab(dc)
-
-    # reference-side neighborhoods + projection onto the distorted cloud
-    rtree = cKDTree(rp)
-    nd, nbr = rtree.query(rp, k=k)                         # [N, k]
-    proj = cKDTree(dp).query(rp[nbr].reshape(-1, 3), k=1)[1].reshape(nd.shape)
-
-    w = np.exp(-nd ** 2 / (2 * radius ** 2)).astype(np.float64)
-    w /= np.maximum(w.sum(1, keepdims=True), EPS)
+    # nearest distorted point per REFERENCE point, then gather through the
+    # neighborhoods: identical to querying rp[nbr] pointwise (the NN of a
+    # neighborhood member depends only on that member), at 1/k the queries
+    proj = cKDTree(dp).query(rp, k=1)[1][nbr]
 
     # --- geometry (curvature) -----------------------------------------
     a, b = kr[nbr], kd[proj]
@@ -178,9 +223,29 @@ def pcqm(ref6, dist6, radius=0.004, knn=20, weights=DEFAULT_WEIGHTS,
     """PCQM value (0 = identical, larger = worse).
 
     max_points: optional uniform subsample bound per cloud (the metric
-    stabilizes well below vox10 frame sizes; full clouds by default)."""
-    ref6 = np.asarray(ref6, np.float64)
+    stabilizes well below vox10 frame sizes; full clouds by default).
+    ref6 may be a PreparedRef built with the same radius/knn/max_points/seed
+    (see PreparedRef; identical ref==dist clouds fall back to the uncached
+    path so the identical -> 0 property is preserved)."""
+    prep = ref6 if isinstance(ref6, PreparedRef) else None
     dist6 = np.asarray(dist6, np.float64)
+    if prep is not None:
+        if prep.full_shape == dist6.shape and prep.sel is not None:
+            # cannot cheaply rule out ref==dist (full ref not retained);
+            # only the subsample pairing differs in that case, and a
+            # same-shape dist is a once-per-sweep corner — recompute lazily
+            # via the subsampled ref with the shared-subsample semantics
+            if np.array_equal(prep.ref6, dist6[prep.sel]):
+                dist6 = dist6[prep.sel]
+        if len(dist6) > (prep.max_points or len(dist6)):
+            rng = np.random.default_rng()
+            rng.bit_generator.state = prep.rng_state
+            dist6 = dist6[rng.choice(len(dist6), prep.max_points,
+                                     replace=False)]
+        feats = pcqm_features(prep, dist6, radius=radius, knn=knn)
+        vals = np.array([feats[n] for n in FEATURE_NAMES])
+        return float(np.dot(np.asarray(weights, np.float64), vals))
+    ref6 = np.asarray(ref6, np.float64)
     if max_points:
         rng = np.random.default_rng(seed)
         # bit-identical clouds keep identical subsamples so the
