@@ -610,7 +610,13 @@ class Codec:
         k = np.zeros((3, 64), np.int32)
         for i, b in enumerate(blks):
             k[:, i] = b["k"]
-        prune_caps = tuple(_bucket(int(k[l].sum())) for l in range(3))
+        # intermediate levels may keep ceil(slack*k) rows (g_s prune_slack) —
+        # size the static pruned-level capacities to cover that
+        slack = self.model.config["g_s"].get("prune_slack", (1.0, 1.0))
+        prune_caps = tuple(
+            _bucket(int(np.ceil(k[l].astype(np.float64)
+                                * (slack[l] if l < len(slack) else 1.0))
+                        .sum())) for l in range(3))
         # y symbols ride the tunnel as int8 + exact escape list (ESC_CAP
         # note above); overflow falls back to the full-width int16 graph
         y8 = np.clip(y_sym, -128, 127).astype(np.int8)

@@ -182,6 +182,16 @@ class SparseSynthesisTransform(nn.Module):
     # one binary search per level.
     region_candidates: bool = False
     region_dilate_factor: float = 3.0
+    # Intermediate-level prune slack: keep ceil(slack*k) candidates at
+    # levels 0/1 instead of the exact transmitted count, so a GT voxel
+    # whose parent was misranked just below the top-k cut can still be
+    # recovered by the next level's ranking (the final level always prunes
+    # to the exact k[2], so the reconstruction count is unchanged and no
+    # extra bits are spent).  This is the TPU-native answer to the
+    # reference's kernel-5 generative transpose whose dilated candidate
+    # set provides similar cross-level error recovery at ~12x the train
+    # cost (docs/ABLATION.md).  (1.0, 1.0) = exact-k reference semantics.
+    prune_slack: Sequence[float] = (1.0, 1.0)
     # Finest level in grandparent-brick layout (ops/family.grand_apply):
     # the transpose + occupancy head gather 27 rows of the stride-4 set
     # instead of 27 rows of the stride-2 set — ~4x fewer gather ops where
@@ -192,7 +202,7 @@ class SparseSynthesisTransform(nn.Module):
 
     @nn.compact
     def __call__(self, y: SparseTensor, k, prune_caps=None, y_struct=None,
-                 num_levels=3):
+                 num_levels=3, oracle_gt=None, oracle_levels=()):
         """y: latents (stride 8). k: int32[3, max_batch] target counts.
         prune_caps: optional static (c1, c2, c3) pruned-level capacities
         (the decoder sizes these from the transmitted k).
@@ -201,6 +211,12 @@ class SparseSynthesisTransform(nn.Module):
         y_struct: optional precomputed stride-16 structure
         {parent_keys, pp, sl, nbr_idx, nbr_ok} (the decoder reuses the
         params graph's pyramid so g_s performs zero searches).
+
+        oracle_gt/oracle_levels: diagnostic hooks — when lvl is in the
+        static tuple ``oracle_levels``, the prune mask at that level uses
+        GT membership (candidate key in ``oracle_gt[lvl]``) instead of the
+        predicted logits, isolating which level's occupancy misrankings
+        cost reconstruction quality (see scripts/diag_geometry.py).
 
         Returns (x_hat, candidates, logits_list) as in the reference
         training path (model.py:79, transforms.py:214-222)."""
@@ -239,6 +255,23 @@ class SparseSynthesisTransform(nn.Module):
             (self.N1, self.N1 // 4, "up3_t", self.N1 // 4, self.N4 // 8, "pred3"),
         ]
         import jax
+
+        def _k_eff(lvl):
+            s = self.prune_slack[lvl] if lvl < len(self.prune_slack) else 1.0
+            if lvl >= 2 or s == 1.0:
+                return k[lvl]
+            return jnp.ceil(k[lvl].astype(jnp.float32) * s).astype(k.dtype)
+
+        def _prune_logits(lvl, cand_keys, logits):
+            # diagnostic oracle: GT membership replaces the learned ranking
+            if oracle_gt is None or lvl not in oracle_levels:
+                return logits
+            gk = oracle_gt[lvl]
+            idx = jnp.minimum(jnp.searchsorted(gk, cand_keys).astype(jnp.int32),
+                              gk.shape[0] - 1)
+            occ = (gk[idx] == cand_keys) & C.key_is_valid(cand_keys)
+            return jnp.where(occ, 1.0, -1.0)
+
         prev_link = None
         for lvl, (cin, cout, tname, pcin, pchid, pname) in enumerate(specs):
             if lvl >= num_levels:
@@ -284,7 +317,9 @@ class SparseSynthesisTransform(nn.Module):
                 cands.append(cand)
                 logits_list.append(logits)
                 with jax.named_scope(f"gs_topk_l{lvl}"):
-                    keep = topk_mask(cand, logits, k[lvl]) & cvalid
+                    keep = topk_mask(cand, _prune_logits(lvl, cand.keys,
+                                                         logits),
+                                     _k_eff(lvl)) & cvalid
                 with jax.named_scope(f"gs_prune_l{lvl}"):
                     pk, pf = compact(child_keys, keep, cand.feats,
                                      out_capacity=caps[lvl])[:2]
@@ -328,7 +363,8 @@ class SparseSynthesisTransform(nn.Module):
             cands.append(cand)
             logits_list.append(logits)
             with jax.named_scope(f"gs_topk_l{lvl}"):
-                keep = topk_mask(cand, logits, k[lvl]) & cvalid
+                keep = topk_mask(cand, _prune_logits(lvl, cand.keys, logits),
+                                 _k_eff(lvl)) & cvalid
             # prune with parent links carried through the compaction
             with jax.named_scope(f"gs_prune_l{lvl}"):
                 pk, pf, ppar, pslot = compact(child_keys, keep, cand.feats,

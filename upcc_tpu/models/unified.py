@@ -62,6 +62,8 @@ class UnifiedModel(nn.Module):
         mb = cfg.get("max_batch", 8)
         ga = dict(cfg["g_a"])
         gs = dict(cfg["g_s"])
+        if "prune_slack" in gs:  # yaml list -> hashable static attr
+            gs["prune_slack"] = tuple(float(s) for s in gs["prune_slack"])
         em = dict(cfg["entropy_model"])
         em.pop("type", None)
         em.pop("entropy_bottleneck_vbr", None)
@@ -70,7 +72,7 @@ class UnifiedModel(nn.Module):
         self.entropy_model = MeanScaleHyperprior(max_batch=mb, **em)
 
     def __call__(self, x: SparseTensor, q, Lambda, training=True,
-                 root_nbrs=None):
+                 root_nbrs=None, oracle_levels=()):
         """x: input cloud (stride 1, colors in [0,1] as feats). q: [B,2].
 
         root_nbrs: optional host-precomputed root 27-neighborhood maps
@@ -90,7 +92,6 @@ class UnifiedModel(nn.Module):
         y, k = self.g_a(xin, root_nbr=root_nbrs.get("ga"))
         y_hat, (lik_y, lik_z) = self.entropy_model(
             y, q, training=training, root_nbr=root_nbrs.get("z"))
-        x_hat, candidates, occ_logits = self.g_s(y_hat, k)
 
         # GT pyramid: stride-2 key downsamples of the input (the reference
         # derives these with an aux conv whose features are unused,
@@ -98,6 +99,10 @@ class UnifiedModel(nn.Module):
         p1 = downsample_keys(x.keys)
         p2 = downsample_keys(p1)
         gt_pyramid = [p2, p1, x.keys]
+
+        x_hat, candidates, occ_logits = self.g_s(
+            y_hat, k, oracle_gt=gt_pyramid if oracle_levels else None,
+            oracle_levels=tuple(oracle_levels))
 
         return {
             "prediction": x_hat,

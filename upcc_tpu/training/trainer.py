@@ -19,6 +19,7 @@ batches.
 """
 
 import csv
+import json
 import os
 import shutil
 import time
@@ -172,8 +173,12 @@ class Training:
             f.write(ser.to_bytes(self.state.params))
         # committable half-size snapshot (survives host restarts; weights_io)
         from ..utils.weights_io import save_compact
-        save_compact(self.state.params,
-                     os.path.join(self.results_dir, "weights_bf16.msgpack"))
+        snap = os.path.join(self.results_dir, "weights_bf16.msgpack")
+        save_compact(self.state.params, snap)
+        # sidecar so a warm start after full-checkpoint loss resumes the
+        # LR schedule at the right point (see _maybe_resume fallback)
+        with open(snap + ".meta.json", "w") as f:
+            json.dump({"epoch": epoch, "step": int(self.state.step)}, f)
         self._prune_checkpoints(epoch)
 
     def _prune_checkpoints(self, epoch, keep_last=3):
@@ -195,11 +200,11 @@ class Training:
             shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
     def _maybe_resume(self):
-        if not os.path.isdir(self.ckpt_dir):
-            return
         entries = sorted(e for e in os.listdir(self.ckpt_dir)
-                         if e.startswith("ckpt_"))
+                         if e.startswith("ckpt_")) \
+            if os.path.isdir(self.ckpt_dir) else []
         if not entries:
+            self._maybe_warm_start()
             return
         latest = os.path.join(os.path.abspath(self.ckpt_dir), entries[-1])
         if _HAS_ORBAX and os.path.isdir(latest):
@@ -218,6 +223,60 @@ class Training:
                                 payload["step"])
         self.start_epoch = int(payload["epoch"]) + 1
         print(f"resumed from {latest} at epoch {self.start_epoch}")
+
+    def _maybe_warm_start(self):
+        """Fallback resume when all full checkpoints were lost (host
+        restart wipes the gitignored ckpts/ tree): restore params from the
+        committed bf16 snapshot, re-init optimizer moments, and fast-forward
+        every scalar-int count leaf of the fresh opt state so the StepLR
+        schedule (and Adam bias correction) continue from the right step
+        rather than restarting the warm-up-rate regime."""
+        snap = os.path.join(self.results_dir, "weights_bf16.msgpack")
+        if not os.path.isfile(snap):
+            return
+        from ..utils.weights_io import load_params
+        params = load_params(self.state.params, snap)
+        meta_path = snap + ".meta.json"
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            epoch, step = int(meta["epoch"]), int(meta["step"])
+        else:  # legacy snapshot without sidecar: infer from the val trail
+            epoch, step = 0, 0
+            val_csv = os.path.join(self.results_dir, "val.csv")
+            if os.path.isfile(val_csv):
+                with open(val_csv) as f:
+                    rows = [r for r in f.read().splitlines()[1:] if r]
+                if rows:
+                    epoch = max(int(r.split(",")[0]) for r in rows) + 1
+            steps_per_epoch = max(1, (len(self.train_ds) if self.train_ds
+                                      else 1000) // self.batch_size)
+            step = epoch * steps_per_epoch
+
+        opt_state = self.optimizer.init(params)
+        stepa = jnp.asarray(step, jnp.int32)
+
+        # Fast-forward ONLY the LR-schedule counts.  Adam's own count must
+        # stay 0: its bias correction assumes the count matches the moment
+        # accumulators, and a fast-forwarded count with zeroed moments makes
+        # the first ~1k updates ~3x too large (observed as a diverging loss
+        # on the epoch-100 warm restart).
+        def ff(node):
+            if isinstance(node, optax.ScaleByScheduleState):
+                return optax.ScaleByScheduleState(count=stepa)
+            if isinstance(node, (list, tuple)) and hasattr(node, "_fields"):
+                return type(node)(*(ff(v) for v in node))
+            if isinstance(node, tuple):
+                return tuple(ff(v) for v in node)
+            if isinstance(node, dict):
+                return {kk: ff(v) for kk, v in node.items()}
+            return node
+
+        opt_state = ff(opt_state)
+        self.state = TrainState(params, opt_state, stepa)
+        self.start_epoch = epoch + 1 if os.path.isfile(meta_path) else epoch
+        print(f"warm-started from {snap} at epoch {self.start_epoch} "
+              f"(step {step}; fresh optimizer moments)")
 
     # ---- loops ---------------------------------------------------------
 
