@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--forward", action="store_true")
     ap.add_argument("--oracle", action="store_true")
     ap.add_argument("--skip_codec", action="store_true")
+    ap.add_argument("--min_one", action="store_true")
     args = ap.parse_args()
 
     from upcc_tpu.codec.io import load_codec
@@ -50,6 +51,13 @@ def main():
 
     codec, _ = load_codec(os.path.join(cfg.get("results_path", "./results"),
                                        cfg["experiment_name"]))
+    if args.min_one:
+        # inference-time A/B of the per-parent selection floor (the model
+        # config dict is re-read at every apply, so mutating it is enough)
+        codec.model.config["g_s"]["min_one_child"] = True
+        codec.cmodel.config["g_s"]["min_one_child"] = True
+        cfg["model"]["g_s"]["min_one_child"] = True
+        print("min_one_child ON")
 
     for bs in ([] if args.skip_codec else args.blocks):
         data = codec.compress(pc, q=(args.q, args.q), block_size=bs)

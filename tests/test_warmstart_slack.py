@@ -177,3 +177,52 @@ def test_prune_slack_preserves_final_count_and_recovers(workspace):
     n0 = int(np.sum(c0 != np.iinfo(np.int64).max))
     n1 = int(np.sum(c1 != np.iinfo(np.int64).max))
     assert n1 > n0, (n0, n1)
+
+
+def test_min_one_child_floor(workspace):
+    """With min_one_child, every parent that produced candidates at the
+    finest level keeps at least one child in the reconstruction, the output
+    count still equals the transmitted k, and the point budget spreads to
+    at least as many parents as the plain global top-k."""
+    import jax
+    import jax.numpy as jnp
+
+    from upcc_tpu.data.synthetic import surface_cloud
+    from upcc_tpu.models.unified import UnifiedModel
+    from upcc_tpu.ops.sparse import from_points_host
+
+    root, cfg_path = workspace
+    cfg = yaml.safe_load(open(cfg_path))
+    rng = np.random.default_rng(7)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=1500)
+    st = from_points_host(np.zeros(len(xyz), np.int32), xyz, rgb, 2048)
+    n_in = int(np.sum(np.asarray(st.keys) != np.iinfo(np.int64).max))
+    q = jnp.full((1, 2), 1.0, jnp.float32)
+    lam = jnp.ones((1, 2), jnp.float32)
+
+    SENT = np.iinfo(np.int64).max
+    parents_covered = {}
+    for flag in [False, True]:
+        mcfg = dict(cfg["model"])
+        mcfg["max_batch"] = 1
+        mcfg["g_s"] = dict(mcfg["g_s"], min_one_child=flag)
+        model = UnifiedModel(mcfg)
+        params = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            st, q, lam)["params"]
+        out = model.apply({"params": params}, st, q, lam, training=False,
+                          rngs={"noise": jax.random.PRNGKey(2)})
+        keys = np.asarray(out["prediction"].keys)
+        kept = keys[keys != SENT]
+        assert len(kept) == n_in  # exact-k unchanged by the floor
+        kept_parents = set((kept >> 3).tolist())
+        ck = np.asarray(out["candidates"][2].keys)
+        # candidate layout is parent-major, 8 per parent
+        cand_parents = set((ck[ck != SENT] >> 3).tolist())
+        parents_covered[flag] = len(kept_parents)
+        if flag:
+            # k >= number of parents here, so the floor must cover every
+            # parent that has any valid candidate
+            assert kept_parents == cand_parents, (
+                len(kept_parents), len(cand_parents))
+    assert parents_covered[True] >= parents_covered[False]

@@ -192,6 +192,17 @@ class SparseSynthesisTransform(nn.Module):
     # set provides similar cross-level error recovery at ~12x the train
     # cost (docs/ABLATION.md).  (1.0, 1.0) = exact-k reference semantics.
     prune_slack: Sequence[float] = (1.0, 1.0)
+    # Per-parent selection floor: before the global top-k at each level,
+    # boost every valid parent's best-ranked child above the cut.  A global
+    # top-k over a whole block otherwise concentrates the transmitted point
+    # budget in high-confidence regions and leaves low-density regions of
+    # the SAME block empty — measured as the dominant D1 failure mode
+    # (scripts/diag_codec_gap.py --oracle: level-2 ranking costs ~20 dB on
+    # full frames while oracle levels 0/1 add only +0.4 dB).  An occupied
+    # parent always has >=1 occupied child by construction, so the floor is
+    # structurally sound; remaining budget still follows the global ranking.
+    # No bits, no new params; encoder/decoder share the deterministic rule.
+    min_one_child: bool = False
     # Finest level in grandparent-brick layout (ops/family.grand_apply):
     # the transpose + occupancy head gather 27 rows of the stride-4 set
     # instead of 27 rows of the stride-2 set — ~4x fewer gather ops where
@@ -262,15 +273,26 @@ class SparseSynthesisTransform(nn.Module):
                 return k[lvl]
             return jnp.ceil(k[lvl].astype(jnp.float32) * s).astype(k.dtype)
 
-        def _prune_logits(lvl, cand_keys, logits):
+        def _prune_logits(lvl, cand_keys, logits, cvalid=None):
             # diagnostic oracle: GT membership replaces the learned ranking
-            if oracle_gt is None or lvl not in oracle_levels:
-                return logits
-            gk = oracle_gt[lvl]
-            idx = jnp.minimum(jnp.searchsorted(gk, cand_keys).astype(jnp.int32),
-                              gk.shape[0] - 1)
-            occ = (gk[idx] == cand_keys) & C.key_is_valid(cand_keys)
-            return jnp.where(occ, 1.0, -1.0)
+            if oracle_gt is not None and lvl in oracle_levels:
+                gk = oracle_gt[lvl]
+                idx = jnp.minimum(jnp.searchsorted(gk, cand_keys
+                                                   ).astype(jnp.int32),
+                                  gk.shape[0] - 1)
+                occ = (gk[idx] == cand_keys) & C.key_is_valid(cand_keys)
+                return jnp.where(occ, 1.0, -1.0)
+            if self.min_one_child and cvalid is not None:
+                # per-parent floor: candidates arrive parent-major, 8 per
+                # parent, at every level (upsample_children_keys order and
+                # the grand path's flatten both guarantee it)
+                l2 = jnp.where(cvalid, logits, -jnp.inf).reshape(-1, 8)
+                best = jnp.argmax(l2, axis=1)
+                has = jnp.any(cvalid.reshape(-1, 8), axis=1)
+                bonus = (jax.nn.one_hot(best, 8, dtype=logits.dtype)
+                         * has[:, None].astype(logits.dtype) * 1e4)
+                return logits + bonus.reshape(-1)
+            return logits
 
         prev_link = None
         for lvl, (cin, cout, tname, pcin, pchid, pname) in enumerate(specs):
@@ -318,7 +340,7 @@ class SparseSynthesisTransform(nn.Module):
                 logits_list.append(logits)
                 with jax.named_scope(f"gs_topk_l{lvl}"):
                     keep = topk_mask(cand, _prune_logits(lvl, cand.keys,
-                                                         logits),
+                                                         logits, cvalid),
                                      _k_eff(lvl)) & cvalid
                 with jax.named_scope(f"gs_prune_l{lvl}"):
                     pk, pf = compact(child_keys, keep, cand.feats,
@@ -363,7 +385,8 @@ class SparseSynthesisTransform(nn.Module):
             cands.append(cand)
             logits_list.append(logits)
             with jax.named_scope(f"gs_topk_l{lvl}"):
-                keep = topk_mask(cand, _prune_logits(lvl, cand.keys, logits),
+                keep = topk_mask(cand, _prune_logits(lvl, cand.keys, logits,
+                                                     cvalid),
                                  _k_eff(lvl)) & cvalid
             # prune with parent links carried through the compaction
             with jax.named_scope(f"gs_prune_l{lvl}"):
