@@ -52,7 +52,10 @@ def read_container(path_or_bytes):
     else:
         with open(path_or_bytes, "rb") as f:
             data = f.read()
-    assert data[:4] == MAGIC, "bad magic"
+    if len(data) < 4 + struct.calcsize("<BfI"):
+        raise ValueError("truncated bitstream: container header incomplete")
+    if data[:4] != MAGIC:
+        raise ValueError("bad magic: not a UPCC bitstream")
     ver, scaling_factor, n_blocks = struct.unpack_from("<BfI", data, 4)
     if ver != VERSION:
         raise ValueError(
@@ -61,7 +64,11 @@ def read_container(path_or_bytes):
             "coder and cannot be decoded by this build")
     pos = 4 + struct.calcsize("<BfI")
     blocks = []
+    hdr_size = struct.calcsize("<iiiBIIff") + struct.calcsize("<III") \
+        + struct.calcsize("<iii")
     for _ in range(n_blocks):
+        if pos + hdr_size > len(data):
+            raise ValueError("truncated bitstream: block header incomplete")
         ox, oy, oz, levels, n_y, n_z, qg, qa = struct.unpack_from("<iiiBIIff", data, pos)
         pos += struct.calcsize("<iiiBIIff")
         lc, ly, lz = struct.unpack_from("<III", data, pos)
