@@ -27,7 +27,8 @@ def main():
     cfg = {
         "max_batch": 8,
         "g_a": {"C_in": 4, "N1": n, "N2": n, "N3": n, "N4": n},
-        "g_s": {"C_out": 3, "N1": n, "N2": n, "N3": n, "N4": n},
+        "g_s": {"C_out": 3, "N1": n, "N2": n, "N3": n, "N4": n,
+                "min_one_child": True},
         "entropy_model": {
             "C_bottleneck": n, "C_hyper_bottleneck": 192,
             "quantization_mode": "ste", "inverse_rescaling": True,

@@ -196,7 +196,53 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
         # reference evaluate.py:79-89)
         codec, _cfg = load_codec(exp_dir)
 
+        # Host metrics (D1/D2/YUV ~14 s + PCQM ~14 s per 760k-pt row) vastly
+        # outweigh the device enc+dec (~6 s, mostly tunnel/device wait with
+        # the host idle).  A depth-1 worker thread computes row k's metrics
+        # while the device runs row k+1 — same bounded-lookahead pattern as
+        # the trainer's metric queue (training/trainer.py).  Rows stay in
+        # sweep order; worker exceptions re-raise on the main thread.
+        import queue
+        import threading
+
         rows = []
+
+        def _finish(job):
+            row, rec, corner = job
+            if with_metrics:
+                m = pc_metrics(job_src[0], rec, job_src[1])
+                row.update({k: v for k, v in m.items()
+                            if k.startswith("sym_")})
+                if with_pcqm:
+                    # reference evaluate.py:156-171 runs the PCQM binary;
+                    # see make_pcqm for the native/external selection and
+                    # the scale caveat
+                    row["pcqm"] = pcqm_fn(job_src[2], rec)
+            if with_renders and corner is not None:
+                # qualitative renders at the corner qualities
+                # (reference evaluate.py:135-154 renders per run)
+                from upcc_tpu.eval.render import render_pointcloud
+                render_pointcloud(rec, path_prefix=corner)
+            rows.append(row)
+
+        q_jobs = queue.Queue(maxsize=1)
+        w_err = []
+
+        def _worker():
+            while True:
+                job = q_jobs.get()
+                try:
+                    if job is None:
+                        return
+                    if not w_err:  # after an error, drain without work
+                        _finish(job)
+                except BaseException as e:  # re-raised on the main thread
+                    w_err.append(e)
+                finally:
+                    q_jobs.task_done()
+
+        worker = threading.Thread(target=_worker, daemon=True)
+        worker.start()
         for seq, spec in TEST_SET.items():
             if sequences and seq not in sequences:
                 continue
@@ -205,9 +251,15 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
             if max_points and len(pc) > max_points:
                 pc = pc[np.random.default_rng(0).choice(
                     len(pc), max_points, replace=False)]
-            src_prep = PreparedSource(pc) if with_metrics else None
-            pcqm_ref = pcqm_fn.prepare(pc) \
-                if (with_metrics and with_pcqm) else None
+            # per-sequence source structures are shared with the worker;
+            # drain it before swapping them
+            q_jobs.join()
+            if w_err:
+                raise w_err[0]
+            job_src = (PreparedSource(pc) if with_metrics else None,
+                       spec["resolution"],
+                       pcqm_fn.prepare(pc)
+                       if (with_metrics and with_pcqm) else None)
             for qg in qs:
                 for qa in qs:
                     t0 = time.time()
@@ -223,27 +275,21 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                            "t_compress": t1 - t0, "t_decompress": t2 - t1,
                            "num_points": len(pc),
                            "synthetic": int(synthetic)}
-                    if with_metrics:
-                        m = pc_metrics(src_prep, rec, spec["resolution"])
-                        row.update({k: v for k, v in m.items()
-                                    if k.startswith("sym_")})
-                        if with_pcqm:
-                            # reference evaluate.py:156-171 runs the PCQM
-                            # binary; see make_pcqm for the native/external
-                            # selection and the scale caveat
-                            row["pcqm"] = pcqm_fn(pcqm_ref, rec)
-                    if with_renders and float(qg) == float(qa) \
-                            and float(qg) in (qs[0], qs[-1]):
-                        # qualitative renders at the corner qualities
-                        # (reference evaluate.py:135-154 renders per run)
-                        from upcc_tpu.eval.render import render_pointcloud
-                        render_pointcloud(rec, path_prefix=os.path.join(
+                    corner = None
+                    if float(qg) == float(qa) and float(qg) in (qs[0], qs[-1]):
+                        corner = os.path.join(
                             exp_dir, "renders",
-                            f"{seq}_q{float(qg):.2f}_{float(qa):.2f}"))
-                    rows.append(row)
+                            f"{seq}_q{float(qg):.2f}_{float(qa):.2f}")
+                    if w_err:
+                        raise w_err[0]
+                    q_jobs.put((row, rec, corner))
                     print(f"[{exp}] {seq} q=({qg:.1f},{qa:.1f}) "
                           f"bpp={row['bpp']:.3f} enc={row['t_compress']:.2f}s "
                           f"dec={row['t_decompress']:.2f}s", flush=True)
+        q_jobs.put(None)
+        worker.join()
+        if w_err:
+            raise w_err[0]
         if rows:
             path = os.path.join(exp_dir, "test.csv")
             # --append: extend an existing sweep (e.g. add a vox11 sequence
