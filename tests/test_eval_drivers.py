@@ -50,6 +50,45 @@ def test_run_testset_smoke(tmp_path, monkeypatch):
     assert "sym_y_psnr" in df.columns
 
 
+def test_run_testset_metric_error_propagates(tmp_path, monkeypatch):
+    """A failure inside the lookahead metric worker must surface as an
+    exception on the main thread, not hang or silently drop rows."""
+    import evaluate
+    import yaml
+
+    exp = tmp_path / "results" / "tiny"
+    exp.mkdir(parents=True)
+    (exp / "config.yaml").write_text(yaml.safe_dump({
+        "batch_size": 1,
+        "model": {
+            "entropy_model": {"C_bottleneck": 16, "C_hyper_bottleneck": 24,
+                              "quantization_mode": "ste",
+                              "inverse_rescaling": True,
+                              "quantization_offset": True},
+            "g_a": {"C_in": 4, "N1": 16, "N2": 16, "N3": 16, "N4": 16},
+            "g_s": {"C_out": 3, "N1": 16, "N2": 16, "N3": 16, "N4": 16}}}))
+    monkeypatch.setattr(evaluate, "TEST_SET", {
+        "mini": {"resolution": 63, "block_size": 64, "frame": 0}})
+
+    def tiny_frame(sequence, spec, data_root, allow_synthetic=True):
+        from upcc_tpu.data.synthetic import surface_cloud
+        xyz, rgb = surface_cloud(np.random.default_rng(0), extent=64,
+                                 n_target=800)
+        return np.concatenate([xyz.astype(np.float32), rgb], 1), True
+    monkeypatch.setattr(evaluate, "load_frame", tiny_frame)
+
+    import upcc_tpu.eval.metrics as M
+
+    def boom(*a, **k):
+        raise RuntimeError("metric backend exploded")
+    # run_testset does a call-time `from upcc_tpu.eval.metrics import
+    # pc_metrics`, so patching the module attribute is enough
+    monkeypatch.setattr(M, "pc_metrics", boom)
+    with pytest.raises(RuntimeError, match="metric backend exploded"):
+        evaluate.run_testset(["tiny"], q_steps=2,
+                             results_path=str(tmp_path / "results"))
+
+
 def test_plot_experiments(tmp_path):
     import plot as plot_mod
 
