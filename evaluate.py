@@ -122,10 +122,39 @@ def make_pcqm(mode, pcqm_max_points):
     return f
 
 
+def write_testset_csv(path, rows, append=False):
+    """Write sweep rows, optionally merging with an existing test.csv.
+
+    With append=True, rows for sequences re-run this invocation replace
+    the old ones and every other sequence's rows are kept (same semantics
+    as the learned-codec sweep; reference evaluate.py keeps one growing
+    CSV per experiment too).  Column sets are unioned so a sweep that adds
+    a metric column doesn't drop older rows.
+    """
+    old = []
+    if append and os.path.exists(path):
+        with open(path, newline="") as f:
+            redone = {r["sequence"] for r in rows}
+            old = [r for r in csv.DictReader(f)
+                   if r["sequence"] not in redone]
+    fields = list(rows[0])
+    for r in old:
+        for k in r:
+            if k not in fields:
+                fields.append(k)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields, restval="")
+        w.writeheader()
+        w.writerows(old)
+        w.writerows(rows)
+    return len(old)
+
+
 def run_anchor_testset(exp, sequences=None, with_metrics=True,
                        data_root="./data/raw", results_path="./results",
                        max_points=None, allow_synthetic=True, with_pcqm=True,
-                       pcqm_max_points=200_000, pcqm_mode="native"):
+                       pcqm_max_points=200_000, pcqm_mode="native",
+                       append=False):
     from upcc_tpu.codec import raht
     from upcc_tpu.eval.metrics import PreparedSource, pc_metrics
     pcqm_fn = make_pcqm(pcqm_mode, pcqm_max_points)
@@ -167,11 +196,9 @@ def run_anchor_testset(exp, sequences=None, with_metrics=True,
                       f"bpp={row['bpp']:.3f}", flush=True)
     if rows:
         path = os.path.join(exp_dir, "test.csv")
-        with open(path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0]))
-            w.writeheader()
-            w.writerows(rows)
-        print(f"[{exp}] wrote {path} ({len(rows)} rows)")
+        n_old = write_testset_csv(path, rows, append)
+        print(f"[{exp}] wrote {path} "
+              f"({n_old + len(rows)} rows, {len(rows)} new)")
 
 
 def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
@@ -189,7 +216,8 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
         if exp in ANCHOR_GRIDS:
             run_anchor_testset(exp, sequences, with_metrics, data_root,
                                results_path, max_points, allow_synthetic,
-                               with_pcqm, pcqm_max_points, pcqm_mode)
+                               with_pcqm, pcqm_max_points, pcqm_mode,
+                               append=append)
             continue
         exp_dir = os.path.join(results_path, exp)
         # config + weights restore shared with compress.py (codec/io.py;
@@ -293,26 +321,11 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
         if rows:
             path = os.path.join(exp_dir, "test.csv")
             # --append: extend an existing sweep (e.g. add a vox11 sequence
-            # at a coarser q grid without redoing the vox10 5x5); replaced
+            # at a coarser q grid without redoing the vox10 grid); replaced
             # sequences are dropped first so a rerun stays consistent
-            old = []
-            if append and os.path.exists(path):
-                with open(path, newline="") as f:
-                    redone = {r["sequence"] for r in rows}
-                    old = [r for r in csv.DictReader(f)
-                           if r["sequence"] not in redone]
-            fields = list(rows[0])
-            for r in old:
-                for k in r:
-                    if k not in fields:
-                        fields.append(k)
-            with open(path, "w", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=fields, restval="")
-                w.writeheader()
-                w.writerows(old)
-                w.writerows(rows)
+            n_old = write_testset_csv(path, rows, append)
             print(f"[{exp}] wrote {path} "
-                  f"({len(old) + len(rows)} rows, {len(rows)} new)")
+                  f"({n_old + len(rows)} rows, {len(rows)} new)")
 
 
 if __name__ == "__main__":

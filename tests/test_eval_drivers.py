@@ -184,6 +184,27 @@ def test_anchor_testset_gpcc_native(tmp_path, monkeypatch):
     assert hi.sym_y_psnr > lo.sym_y_psnr and hi.bpp > lo.bpp
 
 
+def test_write_testset_csv_append_merges_sequences(tmp_path):
+    """--append keeps other sequences' rows, replaces re-run ones, and
+    unions column sets (anchor path shares this helper since round 3)."""
+    import evaluate
+    path = str(tmp_path / "test.csv")
+    first = [{"sequence": "loot", "q_g": 1.0, "bpp": 0.5},
+             {"sequence": "dancer", "q_g": 1.0, "bpp": 0.7}]
+    assert evaluate.write_testset_csv(path, first, append=False) == 0
+    # re-run dancer with an extra column; loot must survive untouched
+    second = [{"sequence": "dancer", "q_g": 0.5, "bpp": 0.9, "pcqm": 0.1}]
+    assert evaluate.write_testset_csv(path, second, append=True) == 1
+    df = pd.read_csv(path)
+    assert sorted(df.sequence) == ["dancer", "loot"]
+    assert float(df[df.sequence == "dancer"].bpp.iloc[0]) == 0.9
+    assert float(df[df.sequence == "loot"].bpp.iloc[0]) == 0.5
+    assert "pcqm" in df.columns and df[df.sequence == "loot"].pcqm.isna().all()
+    # append=False rewrites from scratch
+    assert evaluate.write_testset_csv(path, first, append=False) == 0
+    assert len(pd.read_csv(path)) == 2
+
+
 def test_bd_anchor_pareto_mode(tmp_path):
     """When the anchor's style BD points sit far outside the candidate's
     rate range (zero overlap -> NaN), anchor_points='pareto' selects the
