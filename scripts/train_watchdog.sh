@@ -1,12 +1,18 @@
 #!/bin/sh
 # Tunnel-outage-tolerant training driver: probe the TPU, and while it is
 # reachable run train.py (auto-resume picks up from the newest checkpoint).
-# Survives relay flaps (TPU_NOTES round-2 session-5, outage mode).
-#   sh scripts/train_watchdog.sh <duration_s> <config> <logfile>
+# Survives relay flaps (TPU_NOTES round-2 session-5, outage mode) AND
+# in-run hangs: a relay flap mid-device-call leaves the client blocked
+# forever at 0% CPU (round-3: 48 min silent at epoch 119 with the tunnel
+# back up).  The monitor kills the trainer when its cumulative CPU time
+# is frozen for STALL_S seconds; the loop then relaunches and auto-resume
+# loses at most the epochs since the newest checkpoint (saved every epoch).
+#   sh scripts/train_watchdog.sh <duration_s> <config> <logfile> [stall_s]
 set -u
 DUR=${1:-21600}
 CFG=${2:-configs/CVPR_inverse_scaling.yaml}
 LOG=${3:-/tmp/train_watch.log}
+STALL_S=${4:-900}
 cd /root/repo || exit 1
 END=$(($(date +%s) + DUR))
 while [ "$(date +%s)" -lt "$END" ]; do
@@ -14,7 +20,33 @@ while [ "$(date +%s)" -lt "$END" ]; do
         left=$((END - $(date +%s)))
         [ "$left" -gt 120 ] || break
         echo "=== $(date -u +%H:%M:%S) tunnel up, training for <=${left}s ===" >> "$LOG"
-        timeout -k 30 "$left" python -u train.py --config "$CFG" >> "$LOG" 2>&1
+        python -u train.py --config "$CFG" >> "$LOG" 2>&1 &
+        TPID=$!
+        last_cpu=-1 idle=0
+        while kill -0 "$TPID" 2>/dev/null; do
+            if [ "$(date +%s)" -ge "$END" ]; then
+                echo "=== $(date -u +%H:%M:%S) budget spent, stopping trainer ===" >> "$LOG"
+                kill "$TPID" 2>/dev/null; sleep 30
+                kill -9 "$TPID" 2>/dev/null
+                break
+            fi
+            sleep 60
+            # utime+stime across all threads; frozen => hung client
+            cpu=$(awk '{print $14 + $15}' "/proc/$TPID/stat" 2>/dev/null) || cpu=""
+            [ -n "$cpu" ] || break
+            if [ "$cpu" = "$last_cpu" ]; then
+                idle=$((idle + 60))
+            else
+                idle=0 last_cpu=$cpu
+            fi
+            if [ "$idle" -ge "$STALL_S" ]; then
+                echo "=== $(date -u +%H:%M:%S) stall: trainer cputime frozen ${idle}s, killing ===" >> "$LOG"
+                kill "$TPID" 2>/dev/null; sleep 30
+                kill -9 "$TPID" 2>/dev/null
+                break
+            fi
+        done
+        wait "$TPID" 2>/dev/null
         echo "=== $(date -u +%H:%M:%S) trainer exited rc=$? ===" >> "$LOG"
     else
         echo "=== $(date -u +%H:%M:%S) tunnel down ===" >> "$LOG"
