@@ -66,9 +66,6 @@ def main():
     lam = qf.scale_q_vals(q)
 
     # init + load weights
-    params = jax.eval_shape(
-        lambda: model.init({"params": jax.random.PRNGKey(0),
-                            "noise": jax.random.PRNGKey(1)}, st, q, lam))
     params = jax.jit(model.init)({"params": jax.random.PRNGKey(0),
                                   "noise": jax.random.PRNGKey(1)},
                                  st, q, lam)["params"]

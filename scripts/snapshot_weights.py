@@ -28,6 +28,11 @@ def main():
     # Deserialize without a template: state-dict of plain numpy arrays.
     params = ser.msgpack_restore(raw)
     save_compact(params, dst)
+    # keep the epoch/step sidecar in sync so load_codec's staleness
+    # arbitration sees matching provenance for both files
+    if os.path.exists(src + ".meta.json"):
+        import shutil
+        shutil.copyfile(src + ".meta.json", dst + ".meta.json")
     print(f"{src} ({len(raw)/1e6:.1f} MB) -> {dst} "
           f"({os.path.getsize(dst)/1e6:.1f} MB)")
 

@@ -95,6 +95,14 @@ def test_bjontegaard_disjoint_curves_nan():
     assert rate_overlap(rate_a, rate_a) == 1.0
     assert np.isfinite(bd_psnr(rate_a, psnr_a, rate_a, psnr_a + 1.0,
                                min_overlap=0.2))
+    # a candidate fully BRACKETED by a wider anchor sweep is pure
+    # interpolation on both fits: overlap must be 1.0 of the narrower
+    # range (round-3 fix: the union-based gate NaN'd exactly the shape
+    # plot.py's pareto anchor mode constructs)
+    rate_w = np.array([0.05, 0.5, 2.0, 10.0])   # brackets rate_a
+    assert rate_overlap(rate_w, rate_a) == 1.0
+    bd = bd_psnr(rate_w, psnr_a, rate_a, psnr_a + 1.0, min_overlap=0.2)
+    assert np.isfinite(bd) and bd > 0
 
 
 def test_misc_utils():

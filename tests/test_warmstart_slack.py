@@ -226,3 +226,33 @@ def test_min_one_child_floor(workspace):
             assert kept_parents == cand_parents, (
                 len(kept_parents), len(cand_parents))
     assert parents_covered[True] >= parents_covered[False]
+
+
+def test_min_one_child_rejects_region_candidates(workspace):
+    """The floor's 8-per-REAL-parent layout assumption does not hold for
+    the 3x-dilated region candidate set; the combination must fail loudly
+    at trace time instead of silently spending k on empty dilated parents."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from upcc_tpu.data.synthetic import surface_cloud
+    from upcc_tpu.models.unified import UnifiedModel
+    from upcc_tpu.ops.sparse import from_points_host
+
+    root, cfg_path = workspace
+    cfg = yaml.safe_load(open(cfg_path))
+    rng = np.random.default_rng(7)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=500)
+    st = from_points_host(np.zeros(len(xyz), np.int32), xyz, rgb, 1024)
+    q = jnp.full((1, 2), 1.0, jnp.float32)
+    lam = jnp.ones((1, 2), jnp.float32)
+    mcfg = dict(cfg["model"])
+    mcfg["max_batch"] = 1
+    mcfg["g_s"] = dict(mcfg["g_s"], min_one_child=True,
+                       region_candidates=True)
+    model = UnifiedModel(mcfg)
+    with pytest.raises(ValueError, match="region_candidates"):
+        jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            st, q, lam)

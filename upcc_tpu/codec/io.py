@@ -8,6 +8,7 @@ serving process share one loader.  Weight restore prefers the full-precision
 ``weights_bf16.msgpack`` (upcc_tpu/utils/weights_io.py).
 """
 
+import json
 import os
 
 import numpy as np
@@ -43,14 +44,27 @@ def load_codec(exp_dir, max_batch=None):
     cpath = os.path.join(exp_dir, "weights_bf16.msgpack")
     if os.path.exists(wpath) and os.path.exists(cpath):
         # Prefer full precision, but never let a stale machine-local f32
-        # file shadow a newer committed bf16 snapshot (ADVICE r2).  The
-        # trainer writes both within one checkpoint, so mtimes within a
-        # minute count as the same save and f32 wins.
-        wm, cm = os.path.getmtime(wpath), os.path.getmtime(cpath)
-        pick = wpath if wm >= cm - 60 else cpath
+        # file shadow a newer committed bf16 snapshot (ADVICE r2).
+        # Arbitrate by the trainer's recorded step when both sidecars
+        # exist (robust to cp/rsync touching mtimes); fall back to mtimes
+        # with a one-minute same-save window otherwise.
+        def _step_of(path):
+            try:
+                with open(path + ".meta.json") as f:
+                    return int(json.load(f)["step"])
+            except (OSError, ValueError, KeyError):
+                return None
+        ws, cs = _step_of(wpath), _step_of(cpath)
+        if ws is not None and cs is not None:
+            pick = wpath if ws >= cs else cpath
+            why = f"step {ws} < {cs}"
+        else:
+            wm, cm = os.path.getmtime(wpath), os.path.getmtime(cpath)
+            pick = wpath if wm >= cm - 60 else cpath
+            why = f"mtime {wm:.0f} < {cm:.0f}"
         if pick == cpath:
             print(f"[codec] weights.msgpack is older than the bf16 snapshot "
-                  f"({wm:.0f} < {cm:.0f}) — using {cpath}")
+                  f"({why}) — using {cpath}")
         params = load_params(template, pick)
     elif os.path.exists(wpath):
         params = load_params(template, wpath)

@@ -15,9 +15,17 @@ def _fit_and_integrate(x, y, lo, hi, degree=3):
 
 
 def _overlap_fraction(a, b):
-    """Shared fraction of the union of two 1-D ranges, in [0, 1]."""
+    """Fraction of the NARROWER range covered by the intersection, in [0, 1].
+
+    Both BD integrals are evaluated on the intersection only (pure
+    interpolation for both fits), so the quantity the gate must bound is
+    how representative that shared domain is of the curves — measured
+    against the narrower one.  Dividing by the union instead (the round-2
+    formulation) wrongly NaN'd a candidate curve fully bracketed by a
+    wider anchor sweep (overlap 1.0 of the candidate, ~0.1 of the union),
+    which is exactly the shape plot.py's pareto anchor mode constructs."""
     lo, hi = max(a.min(), b.min()), min(a.max(), b.max())
-    span = max(a.max(), b.max()) - min(a.min(), b.min())
+    span = min(a.max() - a.min(), b.max() - b.min())
     return float(max(0.0, hi - lo) / span) if span > 0 else 0.0
 
 
@@ -38,9 +46,10 @@ def quality_overlap(psnr_a, psnr_b):
 def bd_psnr(rate_a, psnr_a, rate_b, psnr_b, min_overlap=0.0):
     """Average quality gain of curve B over anchor A (dB) at equal rate.
 
-    Returns NaN when the curves' log-rate ranges share no more than
-    ``min_overlap`` of their union — integrating a cubic fit outside the
-    fitted range extrapolates wildly and the delta would be meaningless."""
+    Returns NaN when the intersection of the curves' log-rate ranges
+    covers no more than ``min_overlap`` of the narrower range — a
+    sliver-sized shared domain makes the averaged delta unrepresentative
+    of either curve."""
     la, lb = np.log10(np.asarray(rate_a, float)), np.log10(np.asarray(rate_b, float))
     if _overlap_fraction(la, lb) <= min_overlap:
         return float("nan")
@@ -54,8 +63,8 @@ def bd_psnr(rate_a, psnr_a, rate_b, psnr_b, min_overlap=0.0):
 def bd_rate(rate_a, psnr_a, rate_b, psnr_b, min_overlap=0.0):
     """Average rate change of curve B vs anchor A (%) at equal quality.
 
-    Returns NaN when the quality ranges share no more than ``min_overlap``
-    of their union (see bd_psnr)."""
+    Returns NaN when the intersection of the quality ranges covers no
+    more than ``min_overlap`` of the narrower range (see bd_psnr)."""
     la, lb = np.log10(np.asarray(rate_a, float)), np.log10(np.asarray(rate_b, float))
     pa, pb = np.asarray(psnr_a, float), np.asarray(psnr_b, float)
     if _overlap_fraction(pa, pb) <= min_overlap:

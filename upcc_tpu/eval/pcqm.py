@@ -138,6 +138,8 @@ class PreparedRef:
         self.max_points = max_points
         self.ref6 = ref6
         self.radius = radius
+        self.knn = knn
+        self.seed = seed
         rp, rc = ref6[:, :3], ref6[:, 3:6]
         self.scale = max(float(np.ptp(rp, axis=0).max()), EPS)
         self.rp = rp / self.scale
@@ -230,6 +232,15 @@ def pcqm(ref6, dist6, radius=0.004, knn=20, weights=DEFAULT_WEIGHTS,
     prep = ref6 if isinstance(ref6, PreparedRef) else None
     dist6 = np.asarray(dist6, np.float64)
     if prep is not None:
+        # the prep bakes the reference-side structures for one parameter
+        # set; silently evaluating at different ones would return a value
+        # the caller didn't ask for
+        got = (radius, knn, max_points, seed)
+        want = (prep.radius, prep.knn, prep.max_points, prep.seed)
+        if got != want:
+            raise ValueError(f"pcqm(): PreparedRef was built with "
+                             f"(radius, knn, max_points, seed)={want} but "
+                             f"was called with {got}")
         if prep.full_shape == dist6.shape and prep.sel is not None:
             # cannot cheaply rule out ref==dist (full ref not retained);
             # only the subsample pairing differs in that case, and a

@@ -231,6 +231,14 @@ class SparseSynthesisTransform(nn.Module):
 
         Returns (x_hat, candidates, logits_list) as in the reference
         training path (model.py:79, transforms.py:214-222)."""
+        if self.min_one_child and self.region_candidates:
+            # The floor assumes candidates arrive parent-major, 8 per REAL
+            # parent; region mode's 3x-dilated candidate set breaks that
+            # layout and would boost children of provably-empty dilated
+            # parents, spending the fixed k budget on noise.
+            raise ValueError("min_one_child is incompatible with "
+                             "region_candidates (the per-parent floor "
+                             "assumes the 8-child parent-major layout)")
         base_cap = y.capacity
         caps = list(prune_caps) if prune_caps is not None else \
             [int(f * base_cap) for f in self.prune_cap_factors]

@@ -8,6 +8,12 @@ side effects (checkpoints, CSVs, prints) gated to process 0.
 
 On a single host everything here is a no-op: initialize() skips when no
 coordinator is configured, and is_primary() is True.
+
+Known limitation (untestable here, no second host): the trainer's
+host-side batch prep builds the full global DP batch on every process
+(n_dp = global device count) instead of just this host's shard, so prep
+cost does not yet divide across hosts.  Correctness is unaffected — each
+device still receives exactly its shard.
 """
 
 import os

@@ -169,8 +169,13 @@ class Training:
                 f.write(ser.to_bytes(payload))
         # rolling weights-only export (reference train.py:171-175)
         import flax.serialization as ser
-        with open(os.path.join(self.results_dir, "weights.msgpack"), "wb") as f:
+        wpath = os.path.join(self.results_dir, "weights.msgpack")
+        with open(wpath, "wb") as f:
             f.write(ser.to_bytes(self.state.params))
+        # sidecar: lets load_codec arbitrate f32-vs-bf16 staleness by
+        # recorded step instead of fragile mtimes (ADVICE r2 follow-up)
+        with open(wpath + ".meta.json", "w") as f:
+            json.dump({"epoch": epoch, "step": int(self.state.step)}, f)
         # committable half-size snapshot (survives host restarts; weights_io)
         from ..utils.weights_io import save_compact
         snap = os.path.join(self.results_dir, "weights_bf16.msgpack")
@@ -431,6 +436,12 @@ class Training:
     def val_epoch(self, epoch):
         """Full-codec validation at the four corner qualities
         (reference train.py:244-311)."""
+        from ..parallel.multihost import is_primary
+        if not is_primary():
+            # host-side effects (renders, val.csv) and the expensive
+            # full-codec sweep run once, on process 0; params are
+            # replicated so every host would compute identical rows
+            return []
         from ..codec import Codec
         from ..eval.metrics import pc_metrics
         codec = Codec(self.model, self.state.params)
@@ -458,8 +469,7 @@ class Training:
                     from ..eval.render import render_pointcloud
                     render_pointcloud(rec, path_prefix=os.path.join(
                         render_dir, f"ep{epoch:03d}_q{qg}{qa}"))
-        from ..parallel.multihost import is_primary
-        if rows and is_primary():
+        if rows:
             path = os.path.join(self.results_dir, "val.csv")
             write_header = not os.path.exists(path)
             with open(path, "a", newline="") as f:
