@@ -5,17 +5,22 @@
 # Logs land in /tmp/refresh_*.log; artifacts in results/.
 set -x
 cd /root/repo || exit 1
-QS=${1:-5}
+QS=${1:-11}
 
 # 0. committable bf16 weight snapshot of the freshest flagship weights
 python scripts/snapshot_weights.py CVPR_inverse_scaling \
     > /tmp/refresh_snapshot.log 2>&1
 
-# 1. RD sweep with the freshest flagship weights (loot+longdress synthetic
-#    stand-ins; vox11 sequences excluded to bound wall time)
-timeout 7200 python -u evaluate.py --experiments CVPR_inverse_scaling \
-    --q_steps "$QS" --sequences loot longdress \
+# 1. RD sweep with the freshest flagship weights (synthetic stand-ins).
+#    vox10 at the full reference grid (evaluate.py --q_steps 11 default,
+#    reference evaluate.py:76-77); the four Owlii vox11 sequences at a
+#    3x3 grid to bound wall time (block 512 protocol).
+timeout 10800 python -u evaluate.py --experiments CVPR_inverse_scaling \
+    --q_steps "$QS" --sequences loot longdress --append \
     > /tmp/refresh_eval.log 2>&1
+timeout 7200 python -u evaluate.py --experiments CVPR_inverse_scaling \
+    --q_steps 3 --sequences basketball_player dancer exercise model \
+    --append > /tmp/refresh_eval_vox11.log 2>&1
 
 # 2. plots + BD deltas (CPU only)
 timeout 1800 env JAX_PLATFORMS=cpu python -u plot.py \
