@@ -328,3 +328,20 @@ def test_stream_matches_sequential(codec):
     piped_out = list(codec.decompress_stream(seq, depth=2))
     for a, b in zip(seq_out, piped_out):
         np.testing.assert_array_equal(a, b)
+
+
+def test_compress_multi_matches_sequential(codec):
+    """compress_multi (shared analysis/coordinate pass, one container per
+    operating point) must be byte-identical to independent compress()
+    calls at each q."""
+    rng = np.random.default_rng(7)
+    xyz, rgb = surface_cloud(rng, extent=96, n_target=1200)
+    pc = np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+    qs = [(0.0, 0.0), (0.25, 0.75), (1.0, 0.5)]
+    multi = codec.compress_multi(pc, qs, block_size=128)
+    single = [codec.compress(pc, q, block_size=128) for q in qs]
+    assert [bytes(m) for m in multi] == [bytes(s) for s in single]
+    # and each container still decodes
+    for m, s in zip(multi, single):
+        np.testing.assert_array_equal(codec.decompress(m),
+                                      codec.decompress(s))

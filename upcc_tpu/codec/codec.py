@@ -274,6 +274,50 @@ class Codec:
         # format (the reference's eval uses block sizes 1024/512 too,
         # evaluate.py:43-46)
         assert block_size <= 1024, "block_size > 1024 not supported"
+        groups, levels = self._partition_blocks(pointcloud, block_size,
+                                                scaling_factor)
+        qv = np.asarray(q, np.float32).reshape(1, 2)
+        results = self._map_groups(
+            lambda item, dev: self._compress_group(item[0], item[1], qv,
+                                                   levels, device=dev),
+            groups)
+        blocks = [b for r in results for b in r]
+        return bitstream.write_container(path, blocks, scaling_factor)
+
+    def compress_multi(self, pointcloud, qs, block_size=1024,
+                       scaling_factor=1.0):
+        """Multi-rate encode: one container per q in ``qs``, byte-identical
+        to ``[compress(pointcloud, q) for q in qs]``.
+
+        TPU-native serving addition (adaptive-streaming simulcast): the
+        rate control q conditions only the gain/rescale nets *after* the
+        analysis transform, so the analysis conv stack g_a, the
+        hyper-encoder (z), the octree coordinate streams, and the z rANS
+        streams are all q-independent and run ONCE; each extra operating
+        point pays only the light parameter/symbol graphs plus its y rANS
+        pass.  The reference re-encodes every operating point from scratch
+        (/root/reference/evaluate.py:102-114)."""
+        assert self.tables is not None, "call update() first"
+        assert block_size <= 1024, "block_size > 1024 not supported"
+        groups, levels = self._partition_blocks(pointcloud, block_size,
+                                                scaling_factor)
+        shareds = self._map_groups(
+            lambda item, dev: self._encode_shared(item[0], item[1], levels,
+                                                  device=dev),
+            groups)
+        out = []
+        for q in qs:
+            qv = np.asarray(q, np.float32).reshape(1, 2)
+            results = self._map_groups(
+                lambda sh, dev: self._encode_at_q(sh, qv), shareds)
+            blocks = [b for r in results for b in r]
+            out.append(bitstream.write_container(None, blocks,
+                                                 scaling_factor))
+        return out
+
+    def _partition_blocks(self, pointcloud, block_size, scaling_factor):
+        """Sort points into per-block groups of up to MAX_GROUP blocks;
+        returns ([(blocks, origins), ...], octree levels)."""
         pts = np.asarray(pointcloud)
         xyz = pts[:, :3].astype(np.float64)
         if scaling_factor != 1.0:
@@ -289,7 +333,6 @@ class Codec:
         bounds = np.concatenate([[0], np.where(change)[0] + 1, [len(xyz)]])
 
         levels = max(1, int(math.ceil(math.log2(max(block_size // 8, 2)))))
-        qv = np.asarray(q, np.float32).reshape(1, 2)
         groups = []
         group, group_origins = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
@@ -302,12 +345,7 @@ class Codec:
                 group, group_origins = [], []
         if group:
             groups.append((group, group_origins))
-        results = self._map_groups(
-            lambda item, dev: self._compress_group(item[0], item[1], qv,
-                                                   levels, device=dev),
-            groups)
-        blocks = [b for r in results for b in r]
-        return bitstream.write_container(path, blocks, scaling_factor)
+        return groups, levels
 
     # -- streaming (multi-frame pipelining) ----------------------------------
 
@@ -365,9 +403,16 @@ class Codec:
 
     def _compress_group(self, group, origins, qv, levels, device=None):
         """Encode up to MAX_GROUP blocks in one batched device pass."""
+        shared = self._encode_shared(group, origins, levels, device=device)
+        return self._encode_at_q(shared, qv)
+
+    def _encode_shared(self, group, origins, levels, device=None):
+        """q-independent half of the encode: voxelize, host pyramid
+        bookkeeping, the analysis stack g_a, and the hyper-encoder.
+        Returns a state dict `_encode_at_q` turns into blocks for any q
+        (coordinate/z streams are filled in lazily on the first q)."""
         from ..ops.sparse import voxelize_host_np
         params = self._params_for(device)
-        qv = self._dev(qv, device)
         g = len(group)
         batch = np.concatenate([np.full(len(x), i, np.int32)
                                 for i, (x, _) in enumerate(group)])
@@ -421,12 +466,8 @@ class Codec:
         z_rn = (self._dev(z_rn_idx, device), self._dev(z_rn_ok, device))
         hyp = self._t("enc.hyper", self._hyper_analyze(ycap, z_caps), params,
                       y_keys, y_feats, *z_rn)
-        dec = self._t("enc.params", self._params_graph(ycap, z_caps, hs_caps),
-                      params, y_keys, hyp["z_sym"], qv, *z_rn)
-        sym_out = self._t("enc.symbols", self._symbols_graph(ycap),
-                          params, y_feats, dec)
 
-        # host: per-block prefix runs (batch-major order) and entropy coding
+        # host: per-block prefix runs (batch-major order) — q-independent
         yv = y_keys_np != sent
         y_batches = (y_keys_np[yv] >> C.BATCH_SHIFT).astype(np.int32)
         ny_b = np.bincount(y_batches, minlength=g)[:g]
@@ -437,6 +478,37 @@ class Codec:
         z_batches = (lvl_keys[4] >> C.BATCH_SHIFT).astype(np.int32)
         nz_b = np.bincount(z_batches, minlength=g)[:g]
         z_ofs = np.concatenate([[0], np.cumsum(nz_b)])
+
+        return {"device": device, "params": params, "g": g,
+                "levels": levels, "origins": origins,
+                "enc": enc, "hyp": hyp, "z_rn": z_rn,
+                "y_keys": y_keys, "y_feats": y_feats,
+                "y_keys_np": y_keys_np, "yv": yv, "n_y": n_y, "ycap": ycap,
+                "z_caps": z_caps, "hs_caps": hs_caps, "n_z": n_z,
+                "ny_b": ny_b, "y_ofs": y_ofs, "nz_b": nz_b, "z_ofs": z_ofs,
+                # q-independent stream bytes, filled on the first q pass
+                "z_bytes": None, "coord_bytes": None, "k_all": None}
+
+    def _encode_at_q(self, sh, qv):
+        """q-dependent half of the encode: gain/param graphs, symbol
+        extraction, per-block y rANS streams.  Coordinate and z streams
+        are coded once and cached in ``sh`` across q passes."""
+        device = sh["device"]
+        qv_np = np.asarray(qv, np.float32).reshape(1, 2)
+        qv = self._dev(qv_np, device)
+        params, enc, hyp = sh["params"], sh["enc"], sh["hyp"]
+        g, levels, origins = sh["g"], sh["levels"], sh["origins"]
+        n_y, n_z, ycap = sh["n_y"], sh["n_z"], sh["ycap"]
+        y_keys_np, yv = sh["y_keys_np"], sh["yv"]
+        ny_b, y_ofs, nz_b, z_ofs = (sh["ny_b"], sh["y_ofs"], sh["nz_b"],
+                                    sh["z_ofs"])
+        key_mask = (1 << C.BATCH_SHIFT) - 1
+
+        dec = self._t("enc.params",
+                      self._params_graph(ycap, sh["z_caps"], sh["hs_caps"]),
+                      params, sh["y_keys"], hyp["z_sym"], qv, *sh["z_rn"])
+        sym_out = self._t("enc.symbols", self._symbols_graph(ycap),
+                          params, sh["y_feats"], dec)
 
         zt, yt = self.tables["z"], self.tables["y"]
         zch = hyp["z_sym"].shape[1]
@@ -454,21 +526,31 @@ class Codec:
             # escapes present: refetch at full width (correctness path)
             y_vals = np.asarray(sym_out["y_sym"][:ypre])
         y_vals = y_vals[:n_y]
+        if sh["k_all"] is None:
+            sh["k_all"] = k_all
 
+        fill_shared = sh["z_bytes"] is None
+        if fill_shared:
+            sh["z_bytes"], sh["coord_bytes"] = [], []
         blocks = []
         for i, origin in enumerate(origins):
             zi = z_vals[z_ofs[i]:z_ofs[i + 1]].reshape(-1)
-            z_idx = np.tile(np.arange(zch, dtype=np.int32), int(nz_b[i]))
-            z_bytes = self._t("enc.rans_z", rans.encode_with_indexes,
-                              zi, z_idx, zt["cdf"], zt["cdf_length"],
-                              zt["offset"])
+            if fill_shared:
+                z_idx = np.tile(np.arange(zch, dtype=np.int32), int(nz_b[i]))
+                sh["z_bytes"].append(self._t(
+                    "enc.rans_z", rans.encode_with_indexes,
+                    zi, z_idx, zt["cdf"], zt["cdf_length"], zt["offset"]))
+            z_bytes = sh["z_bytes"][i]
             yi = y_vals[y_ofs[i]:y_ofs[i + 1]].reshape(-1)
             yidx_i = y_idx[y_ofs[i]:y_ofs[i + 1]].reshape(-1)
             y_bytes = self._t("enc.rans_y", rans.encode_with_indexes,
                               yi, yidx_i, yt["cdf"], yt["cdf_length"],
                               yt["offset"])
             morton = (y_keys_np[yv][y_ofs[i]:y_ofs[i + 1]] & key_mask)
-            coord_bytes = self._t("enc.octree", octree.encode, morton, levels)
+            if fill_shared:
+                sh["coord_bytes"].append(self._t(
+                    "enc.octree", octree.encode, morton, levels))
+            coord_bytes = sh["coord_bytes"][i]
 
             if self.debug:
                 self.debug_info.append({
@@ -481,8 +563,8 @@ class Codec:
 
             blocks.append({"origin": origin, "levels": levels,
                            "n_y": int(ny_b[i]), "n_z": int(nz_b[i]),
-                           "q": (float(qv[0, 0]), float(qv[0, 1])),
-                           "k": k_all[:, i].tolist(),
+                           "q": (float(qv_np[0, 0]), float(qv_np[0, 1])),
+                           "k": sh["k_all"][:, i].tolist(),
                            "coord_bytes": coord_bytes, "y_bytes": y_bytes,
                            "z_bytes": z_bytes})
         return blocks
