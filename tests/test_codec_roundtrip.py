@@ -11,6 +11,9 @@ from upcc_tpu.codec import Codec
 from upcc_tpu.data.synthetic import surface_cloud
 from upcc_tpu.models.unified import UnifiedModel
 
+# full-fidelity end-to-end tier: run quick tier with `pytest -m 'not slow'`
+pytestmark = __import__('pytest').mark.slow
+
 CFG = {
     "max_batch": 8,
     "g_a": {"C_in": 4, "N1": 16, "N2": 16, "N3": 16, "N4": 16},

@@ -3,6 +3,9 @@
 import sys
 import os
 
+# full-fidelity end-to-end tier: run quick tier with `pytest -m 'not slow'`
+pytestmark = __import__('pytest').mark.slow
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

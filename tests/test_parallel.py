@@ -7,6 +7,9 @@ import upcc_tpu  # noqa: F401
 import jax
 import jax.numpy as jnp
 
+# full-fidelity end-to-end tier: run quick tier with `pytest -m 'not slow'`
+pytestmark = __import__('pytest').mark.slow
+
 
 def test_dp_matches_single_device():
     """pmean-of-grads over the mesh == grads of the mean loss computed

@@ -6,6 +6,9 @@ import numpy as np
 import pytest
 import yaml
 
+# full-fidelity end-to-end tier: run quick tier with `pytest -m 'not slow'`
+pytestmark = __import__('pytest').mark.slow
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):
