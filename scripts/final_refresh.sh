@@ -18,6 +18,9 @@ python scripts/snapshot_weights.py CVPR_inverse_scaling \
 timeout 10800 python -u evaluate.py --experiments CVPR_inverse_scaling \
     --q_steps "$QS" --sequences loot longdress --append \
     > /tmp/refresh_eval.log 2>&1
+timeout 5400 python -u evaluate.py --experiments CVPR_inverse_scaling \
+    --q_steps 5 --sequences soldier redandblack --append \
+    > /tmp/refresh_eval_vox10b.log 2>&1
 timeout 7200 python -u evaluate.py --experiments CVPR_inverse_scaling \
     --q_steps 3 --sequences basketball_player dancer exercise model \
     --append > /tmp/refresh_eval_vox11.log 2>&1
@@ -30,7 +33,12 @@ timeout 1800 env JAX_PLATFORMS=cpu python -u plot.py \
 # 3. official bench (median of best 5 of 7)
 timeout 3600 python -u bench.py > /tmp/refresh_bench.log 2>&1
 
-# 4. streaming throughput numbers for TPU_NOTES
+# 4. streaming + simulcast throughput numbers for TPU_NOTES
 timeout 3600 python -u scripts/prof_stream.py > /tmp/refresh_stream.log 2>&1
+timeout 1800 python -u scripts/bench_simulcast.py > /tmp/refresh_simulcast.log 2>&1
 
 tail -2 /tmp/refresh_bench.log
+
+# results/ is gitignored: the refreshed artifacts must be force-added.
+# git add -f results/CVPR_inverse_scaling/{test.csv,val.csv,weights_bf16.msgpack,weights_bf16.msgpack.meta.json} \
+#            results/gpcc_native/test.csv results/plots
