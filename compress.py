@@ -47,7 +47,19 @@ def main(argv=None):
                     help="quality in [0,1]^2: geometry, attributes")
     ap.add_argument("--block_size", type=int, default=1024)
     ap.add_argument("--scaling_factor", type=float, default=1.0)
+    ap.add_argument("--ladder", type=float, nargs="+", default=None,
+                    metavar="Q",
+                    help="multi-rate simulcast encode: flat q_g q_a pairs "
+                         "(e.g. --ladder 0.2 0.2 0.5 0.5 1 1). Writes one "
+                         "<out>.rN.upcc per rung from ONE analysis pass "
+                         "(Codec.compress_multi), byte-identical to "
+                         "separate --q encodes.")
     a = ap.parse_args(argv)
+    if a.ladder is not None:
+        if a.mode != "encode":
+            ap.error("--ladder only applies to encode")
+        if len(a.ladder) % 2:
+            ap.error("--ladder takes q_g q_a PAIRS (even count of floats)")
 
     many = len(a.inputs) > 1
     if many:
@@ -73,7 +85,19 @@ def main(argv=None):
             return f.read()
 
     t0 = time.time()
-    if a.mode == "encode":
+    if a.mode == "encode" and a.ladder is not None:
+        qs = [tuple(a.ladder[i:i + 2]) for i in range(0, len(a.ladder), 2)]
+        for inp in a.inputs:
+            blobs = codec.compress_multi(_load_cloud(inp), qs,
+                                         block_size=a.block_size,
+                                         scaling_factor=a.scaling_factor)
+            base, ext = os.path.splitext(out_path(inp, ".upcc"))
+            for r, blob in enumerate(blobs):
+                dst = f"{base}.r{r}{ext or '.upcc'}"
+                with open(dst, "wb") as f:
+                    f.write(blob)
+                print(f"{inp} q={qs[r]} -> {dst}  {len(blob)} bytes")
+    elif a.mode == "encode":
         frames = (_load_cloud(p) for p in a.inputs)
         blobs = codec.compress_stream(frames, q=tuple(a.q),
                                       block_size=a.block_size,

@@ -70,3 +70,38 @@ def test_cli_roundtrip(exp_dir, tmp_path):
     assert len(rx) > 0
     assert rx.min() >= 0 and rx.max() < 64
     assert rc is not None and rc.shape == rx.shape
+
+
+def test_cli_ladder_simulcast(exp_dir, tmp_path):
+    """--ladder writes one .rN.upcc per rung, each byte-identical to the
+    corresponding single --q encode."""
+    from upcc_tpu.data.ply import write_ply
+    from upcc_tpu.data.synthetic import surface_cloud
+
+    import compress
+
+    rng = np.random.default_rng(9)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=1200)
+    src = str(tmp_path / "in.ply")
+    write_ply(src, xyz, rgb)
+
+    out = str(tmp_path / "lad.upcc")
+    compress.main(["encode", src, out, "--experiment", exp_dir,
+                   "--block_size", "64",
+                   "--ladder", "0.2", "0.2", "0.8", "0.8"])
+    singles = []
+    for i, q in enumerate([(0.2, 0.2), (0.8, 0.8)]):
+        p = str(tmp_path / f"s{i}.upcc")
+        compress.main(["encode", src, p, "--experiment", exp_dir,
+                       "--block_size", "64", "--q", str(q[0]), str(q[1])])
+        singles.append(open(p, "rb").read())
+    for i in range(2):
+        rung = open(str(tmp_path / f"lad.r{i}.upcc"), "rb").read()
+        assert rung == singles[i]
+
+    with pytest.raises(SystemExit):  # odd float count
+        compress.main(["encode", src, out, "--experiment", exp_dir,
+                       "--ladder", "0.2", "0.2", "0.8"])
+    with pytest.raises(SystemExit):  # decode mode
+        compress.main(["decode", out, str(tmp_path / "x.ply"),
+                       "--experiment", exp_dir, "--ladder", "0.5", "0.5"])

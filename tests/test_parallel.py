@@ -188,6 +188,14 @@ def test_block_parallel_bitstream_equality(monkeypatch):
     rec_par = par.decompress(blob_seq)
     np.testing.assert_array_equal(rec_par, rec_seq)
 
+    # multi-rate simulcast over the same multi-device dispatch: shared
+    # analysis state lives per group on its own device; per-q passes must
+    # stay byte-identical to independent sequential encodes
+    qs = [(0.5, 0.5), (0.1, 0.9)]
+    multi = par.compress_multi(pc, qs, block_size=32)
+    assert bytes(multi[0]) == bytes(blob_seq)
+    assert bytes(multi[1]) == bytes(seq.compress(pc, q=qs[1], block_size=32))
+
 
 def test_multihost_hooks_single_host_noop(monkeypatch):
     """multihost.initialize is a no-op without coordinates; with them it
