@@ -89,3 +89,51 @@ def test_pcqm_prepared_tiny_dist_falls_back(clouds):
     prep = PreparedRef(src)
     tiny = src[:10]  # fewer points than the prepared k -> uncached fallback
     assert pcqm(prep, tiny) == pcqm(src, tiny)
+
+
+def _no_fast_path(monkeypatch):
+    from upcc_tpu.eval import metrics as M
+    monkeypatch.setattr(M, "_exact_index", lambda pts: None)
+
+
+def test_exact_voxel_fast_path_bit_identical(monkeypatch, clouds):
+    """Integer-grid reconstructions take the exact-voxel shortcut; results
+    must be bit-identical to the full-KD-query path."""
+    from upcc_tpu.eval import metrics as M
+    src, _ = clouds
+    rng = np.random.default_rng(3)
+    # integer rec sharing many voxels with src, plus integer jitter misses
+    rec = src.copy()
+    jit = rng.random(len(rec)) < 0.4
+    rec[jit, :3] = np.clip(rec[jit, :3]
+                           + rng.integers(-2, 3, (int(jit.sum()), 3)), 0, 127)
+    # dedup (duplicate b voxels disable the path by design)
+    _, uniq = np.unique(rec[:, :3], axis=0, return_index=True)
+    rec = rec[np.sort(uniq)]
+
+    fast = M.pc_metrics(src, rec, 127)
+    _no_fast_path(monkeypatch)
+    slow = M.pc_metrics(src, rec, 127)
+    assert fast == slow  # bit-identical floats
+
+    # all-hit edge case: rec == a subset of src (misses empty both ways?
+    # src->rec direction still has misses; rec->src is all hits)
+    sub = src[:: 2]
+    fast_sub = pc_metrics(src, sub, 127)
+    monkeypatch.undo()
+    _no_fast_path(monkeypatch)
+    slow_sub = pc_metrics(src, sub, 127)
+    assert fast_sub == slow_sub
+
+
+def test_exact_voxel_fast_path_guards(clouds):
+    """Non-integer coords and duplicate voxels must disable the shortcut
+    (return None), never mis-handle it."""
+    from upcc_tpu.eval.metrics import _exact_index, _int_keys
+    src, recs = clouds
+    assert _int_keys(recs[0][:, :3]) is None          # jittered floats
+    dup = np.concatenate([src[:5, :3], src[:5, :3]])
+    assert _exact_index(dup) is None                  # duplicates
+    neg = src[:5, :3].copy(); neg[0, 0] = -1.0
+    assert _int_keys(neg) is None                     # negative coords
+    assert _exact_index(src[:50, :3]) is not None     # clean int grid
