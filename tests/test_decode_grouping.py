@@ -1,0 +1,50 @@
+"""Decode-group chunking: device decode groups are bounded by block count,
+output-point volume (HBM ceiling on the reconstruct graph), and q runs.
+
+Regression for the vox11 bench OOM: a 63-block group at block_size 512
+(~1.2M summed output points) compiled a ~20 GB reconstruct graph on a
+15.75 GB v5e chip.  Groups must split before DEC_GROUP_PTS.
+"""
+
+from upcc_tpu.codec.codec import (DEC_GROUP_PTS, MAX_GROUP,
+                                  _chunk_decode_groups)
+
+
+def _blk(q, k_out):
+    return {"q": q, "k": [k_out // 16, k_out // 4, k_out]}
+
+
+def test_splits_on_point_budget():
+    blocks = [_blk((0.5, 0.5), 300_000) for _ in range(6)]  # 1.8M pts total
+    groups = _chunk_decode_groups(blocks)
+    assert len(groups) >= 3
+    for g in groups:
+        assert sum(b["k"][-1] for b in g) <= DEC_GROUP_PTS
+    # order and completeness preserved
+    assert [b for g in groups for b in g] == blocks
+
+
+def test_splits_on_block_count():
+    blocks = [_blk((0.5, 0.5), 100) for _ in range(MAX_GROUP + 5)]
+    groups = _chunk_decode_groups(blocks)
+    assert [len(g) for g in groups] == [MAX_GROUP, 5]
+
+
+def test_splits_on_q_change():
+    blocks = [_blk((0.1, 0.1), 100), _blk((0.1, 0.1), 100),
+              _blk((0.9, 0.9), 100)]
+    groups = _chunk_decode_groups(blocks)
+    assert [len(g) for g in groups] == [2, 1]
+    for g in groups:
+        assert len({b["q"] for b in g}) == 1
+
+
+def test_oversize_single_block_decodes_alone():
+    blocks = [_blk((0.5, 0.5), DEC_GROUP_PTS + 1),
+              _blk((0.5, 0.5), DEC_GROUP_PTS + 1)]
+    groups = _chunk_decode_groups(blocks)
+    assert [len(g) for g in groups] == [1, 1]
+
+
+def test_empty():
+    assert _chunk_decode_groups([]) == []

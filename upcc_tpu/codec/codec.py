@@ -63,6 +63,36 @@ def _bucket(n, lo=512):
     return max(lo, 1 << max(0, math.ceil(math.log2(max(n, 1)))))
 
 
+# decode groups are bounded by output-point volume as well as block count:
+# the reconstruct graph's HBM footprint scales with the group's summed
+# final-level k (prune caps x 8-child expansions), and a 63-block vox11
+# group (~1.2M pts at block 512) needs ~20 GB — past a v5e chip's 15.75 GB.
+# A ~760k-pt group (the vox10 single-block path) compiles at a comfortable
+# margin, so cap groups there; oversize single blocks still decode alone.
+DEC_GROUP_PTS = 800_000
+
+
+def _chunk_decode_groups(blocks):
+    """Split a container's block list into device decode groups.
+
+    Groups only runs of equal q (a group shares one q vector through the
+    batched gain nets; mixing q would desync the rANS indexes), at most
+    MAX_GROUP blocks, and at most DEC_GROUP_PTS summed output points."""
+    items = []
+    cur, pts = [], 0
+    for b in blocks:
+        bp = int(b["k"][-1])
+        if cur and (cur[-1]["q"] != b["q"] or len(cur) == MAX_GROUP
+                    or pts + bp > DEC_GROUP_PTS):
+            items.append(cur)
+            cur, pts = [], 0
+        cur.append(b)
+        pts += bp
+    if cur:
+        items.append(cur)
+    return items
+
+
 def _host_downsample_levels(keys_np, n_levels):
     """Exact per-level octree downsamples (numpy, microseconds): returns the
     sorted valid key array of each level (batch bits preserved).
@@ -578,13 +608,7 @@ class Codec:
         # q is stored per block; a device group shares one q vector (it feeds
         # the batched gain nets), so group only runs of equal q — mixed-q
         # containers decode correctly instead of desyncing the rANS indexes.
-        runs = []
-        for b in blocks:
-            if not runs or runs[-1][-1]["q"] != b["q"]:
-                runs.append([])
-            runs[-1].append(b)
-        items = [run[i:i + MAX_GROUP] for run in runs
-                 for i in range(0, len(run), MAX_GROUP)]
+        items = _chunk_decode_groups(blocks)
         outs = self._map_groups(
             lambda blks, dev: self._decompress_group(blks, device=dev), items)
         x = np.concatenate(outs, axis=0)
