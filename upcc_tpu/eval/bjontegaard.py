@@ -2,16 +2,64 @@
 
 Parity target: /root/reference/metrics/bjontegaard.py (cubic polynomial RD
 model in log-rate space, BD-PSNR and BD-Rate via definite integrals over the
-overlapping range).  Standard BD construction (Bjøntegaard, VCEG-M33).
+overlapping range).  Standard BD construction (Bjøntegaard, VCEG-M33), with
+one deliberate robustness upgrade: the interpolant is a shape-preserving
+monotone piecewise cubic (PCHIP) instead of a single global cubic polynomial.
+
+Why PCHIP and not the reference's np.polyfit: a global cubic through a
+*saturating* RD curve (many near-duplicate quality values — exactly what a
+learned codec produces past its quality ceiling) is catastrophically
+ill-conditioned; it oscillates by tens of orders of magnitude *inside* the
+interpolation range and turns BD-rate into 1e31-class garbage.  PCHIP is
+local and monotonicity-preserving, so the integral is always bounded by the
+data.  The same substitution is standard in post-VCEG-M33 BD tooling
+(e.g. JVET's Akima/piecewise-cubic reimplementations).
 """
 
 import numpy as np
+from scipy.interpolate import PchipInterpolator
 
 
-def _fit_and_integrate(x, y, lo, hi, degree=3):
-    p = np.polyfit(x, y, min(degree, len(x) - 1))
-    pint = np.polyint(p)
-    return (np.polyval(pint, hi) - np.polyval(pint, lo)) / (hi - lo)
+def _prep(x, y):
+    """Sort by x and merge duplicate/near-duplicate abscissae (mean y).
+
+    PCHIP needs strictly increasing x; RD sweeps routinely contain repeated
+    quality values (saturated corner points) and, after Pareto filtering,
+    repeated rates.  Points closer than ``tol`` in x are one knot."""
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    order = np.argsort(x, kind="stable")
+    x, y = x[order], y[order]
+    span = x[-1] - x[0]
+    tol = max(span, 1.0) * 1e-9
+    xs, ys = [x[0]], [[y[0]]]
+    for xi, yi in zip(x[1:], y[1:]):
+        if xi - xs[-1] <= tol:
+            ys[-1].append(yi)
+        else:
+            xs.append(xi)
+            ys.append([yi])
+    return np.array(xs), np.array([float(np.mean(g)) for g in ys])
+
+
+def _interpolant(x, y):
+    """PCHIP through the deduplicated knots; a degenerate curve (all
+    abscissae equal, e.g. an untrained model emitting constant bpp)
+    collapses to the constant function instead of raising."""
+    xs, ys = _prep(x, y)
+    if len(xs) < 2:
+        c = float(ys[0])
+        return lambda t: np.full_like(np.asarray(t, float), c)
+    return PchipInterpolator(xs, ys, extrapolate=True)
+
+
+def _fit_and_integrate(x, y, lo, hi):
+    """Mean of the PCHIP interpolant of (x, y) over [lo, hi]."""
+    xs, ys = _prep(x, y)
+    if len(xs) < 2 or hi <= lo:
+        return float("nan")
+    f = PchipInterpolator(xs, ys, extrapolate=True)
+    return float(f.integrate(lo, hi)) / (hi - lo)
 
 
 def _overlap_fraction(a, b):
@@ -78,17 +126,17 @@ def bd_rate(rate_a, psnr_a, rate_b, psnr_b, min_overlap=0.0):
 
 class BjontegaardModel:
     """Fitted RD model for plotting interpolated curves
-    (reference Bjontegaard_Model, bjontegaard.py:41-80)."""
+    (reference Bjontegaard_Model, bjontegaard.py:41-80), on the same
+    PCHIP interpolant the deltas integrate."""
 
-    def __init__(self, rate, quality, degree=3):
-        self.log_rate = np.log10(np.asarray(rate, float))
-        self.quality = np.asarray(quality, float)
-        d = min(degree, len(self.log_rate) - 1)
-        self.p_quality = np.polyfit(self.log_rate, self.quality, d)
-        self.p_rate = np.polyfit(self.quality, self.log_rate, d)
+    def __init__(self, rate, quality):
+        lr = np.log10(np.asarray(rate, float))
+        q = np.asarray(quality, float)
+        self._quality_of_lograte = _interpolant(lr, q)
+        self._lograte_of_quality = _interpolant(q, lr)
 
     def quality_at(self, rate):
-        return np.polyval(self.p_quality, np.log10(rate))
+        return self._quality_of_lograte(np.log10(rate))
 
     def rate_at(self, quality):
-        return 10.0 ** np.polyval(self.p_rate, quality)
+        return 10.0 ** self._lograte_of_quality(quality)
