@@ -28,6 +28,7 @@ timeout 7200 python -u evaluate.py --experiments CVPR_inverse_scaling \
 # 2. plots + BD deltas (CPU only)
 timeout 1800 env JAX_PLATFORMS=cpu python -u plot.py \
     --experiments CVPR_inverse_scaling gpcc_native --anchor gpcc_native \
+    --anchor_points pareto \
     > /tmp/refresh_plot.log 2>&1
 
 # 3. official bench (median of best 5 of 7)

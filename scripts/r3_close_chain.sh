@@ -35,6 +35,7 @@ fi
 # 5. plots + BD deltas vs the native G-PCC anchor (CPU only)
 timeout 1500 env JAX_PLATFORMS=cpu python -u plot.py \
     --experiments CVPR_inverse_scaling gpcc_native --anchor gpcc_native \
+    --anchor_points pareto \
     > /tmp/r3_plot.log 2>&1
 
 touch /tmp/r3_chain_done
