@@ -47,6 +47,10 @@ def main(argv=None):
                     help="quality in [0,1]^2: geometry, attributes")
     ap.add_argument("--block_size", type=int, default=1024)
     ap.add_argument("--scaling_factor", type=float, default=1.0)
+    ap.add_argument("--geom", choices=["topk", "coded"], default="topk",
+                    help="'coded' = lossless geometry: every candidate "
+                         "voxel's occupancy bit is entropy-coded with the "
+                         "learned logit as context (codec/refine.py)")
     ap.add_argument("--ladder", type=float, nargs="+", default=None,
                     metavar="Q",
                     help="multi-rate simulcast encode: flat q_g q_a pairs "
@@ -90,7 +94,8 @@ def main(argv=None):
         for inp in a.inputs:
             blobs = codec.compress_multi(_load_cloud(inp), qs,
                                          block_size=a.block_size,
-                                         scaling_factor=a.scaling_factor)
+                                         scaling_factor=a.scaling_factor,
+                                         geom=a.geom)
             base, ext = os.path.splitext(out_path(inp, ".upcc"))
             for r, blob in enumerate(blobs):
                 dst = f"{base}.r{r}{ext or '.upcc'}"
@@ -101,7 +106,8 @@ def main(argv=None):
         frames = (_load_cloud(p) for p in a.inputs)
         blobs = codec.compress_stream(frames, q=tuple(a.q),
                                       block_size=a.block_size,
-                                      scaling_factor=a.scaling_factor)
+                                      scaling_factor=a.scaling_factor,
+                                      geom=a.geom)
         for inp, blob in zip(a.inputs, blobs):
             dst = out_path(inp, ".upcc")
             with open(dst, "wb") as f:

@@ -205,7 +205,7 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                 data_root="./data/raw", results_path="./results",
                 max_points=None, allow_synthetic=True, with_pcqm=True,
                 pcqm_max_points=200_000, with_renders=True, append=False,
-                pcqm_mode="native"):
+                pcqm_mode="native", geom="topk"):
     import upcc_tpu  # noqa: F401
     from upcc_tpu.codec.io import load_codec
     from upcc_tpu.eval.metrics import PreparedSource, pc_metrics
@@ -223,6 +223,12 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
         # config + weights restore shared with compress.py (codec/io.py;
         # reference evaluate.py:79-89)
         codec, _cfg = load_codec(exp_dir)
+        if geom == "coded":
+            # the lossless-geometry sweep is its own RD curve: write it as
+            # a sibling experiment so plot.py/BD treat it as one
+            exp = exp + "_coded"
+            exp_dir = os.path.join(results_path, exp)
+            os.makedirs(exp_dir, exist_ok=True)
 
         # Host metrics (D1/D2/YUV ~14 s + PCQM ~14 s per 760k-pt row) vastly
         # outweigh the device enc+dec (~6 s, mostly tunnel/device wait with
@@ -292,7 +298,8 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                 for qa in qs:
                     t0 = time.time()
                     data = codec.compress(pc, q=(float(qg), float(qa)),
-                                          block_size=spec["block_size"])
+                                          block_size=spec["block_size"],
+                                          geom=geom)
                     t1 = time.time()
                     rec = codec.decompress(data)
                     t2 = time.time()
@@ -350,6 +357,10 @@ if __name__ == "__main__":
     ap.add_argument("--append", action="store_true",
                     help="extend an existing test.csv instead of rewriting "
                          "it (rows for re-run sequences are replaced)")
+    ap.add_argument("--geom", choices=["topk", "coded"], default="topk",
+                    help="'coded' sweeps the lossless-geometry mode "
+                         "(entropy-coded occupancy, codec/refine.py) and "
+                         "writes results/<exp>_coded/test.csv")
     a = ap.parse_args()
     run_testset(a.experiments, a.q_steps, a.sequences,
                 with_metrics=not a.no_metrics, max_points=a.max_points,
@@ -357,4 +368,4 @@ if __name__ == "__main__":
                 allow_synthetic=not a.require_real_data,
                 with_pcqm=not a.no_pcqm, pcqm_max_points=a.pcqm_max_points,
                 with_renders=not a.no_renders, append=a.append,
-                pcqm_mode=a.pcqm)
+                pcqm_mode=a.pcqm, geom=a.geom)

@@ -348,3 +348,83 @@ def test_compress_multi_matches_sequential(codec):
     for m, s in zip(multi, single):
         np.testing.assert_array_equal(codec.decompress(m),
                                       codec.decompress(s))
+
+
+def test_coded_geometry_lossless(codec):
+    """geom="coded" (codec/refine.py): the decoded voxel set is EXACTLY the
+    input voxel set — the occupancy bits are entropy-coded, not ranked —
+    and the decode is deterministic."""
+    rng = np.random.default_rng(7)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=1500)
+    pc = np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+    data = codec.compress(pc, q=(0.5, 0.5), block_size=128, geom="coded")
+    out = codec.decompress(data)
+    gt = np.unique(xyz.astype(np.int64), axis=0)
+    got = out[:, :3].astype(np.int64)
+    got = got[np.lexsort(got.T[::-1])]
+    assert np.array_equal(got, gt), "coded geometry must be lossless"
+    out2 = codec.decompress(data)
+    assert np.array_equal(out, out2)
+    # colors on the 8-bit grid
+    cc = out[:, 3:] * 255.0
+    assert np.allclose(cc, np.round(cc), atol=1e-4)
+
+
+def test_coded_geometry_multi_block(codec):
+    """Per-block occupancy streams decode independently (batched group)."""
+    rng = np.random.default_rng(8)
+    xyz1, rgb1 = surface_cloud(rng, extent=64, n_target=700)
+    xyz2, rgb2 = surface_cloud(rng, extent=64, n_target=700)
+    xyz2 = xyz2 + np.array([[128, 0, 0]], np.int32)
+    pc = np.concatenate([
+        np.concatenate([xyz1.astype(np.float32), rgb1], axis=1),
+        np.concatenate([xyz2.astype(np.float32), rgb2], axis=1)])
+    data = codec.compress(pc, q=(0.3, 0.7), block_size=128, geom="coded")
+    out = codec.decompress(data)
+    gt = np.unique(np.concatenate([xyz1, xyz2]).astype(np.int64), axis=0)
+    got = out[:, :3].astype(np.int64)
+    got = got[np.lexsort(got.T[::-1])]
+    assert np.array_equal(got, gt)
+
+
+def test_coded_geometry_compress_multi(codec):
+    """Simulcast ladder in coded mode stays byte-identical to independent
+    encodes (the occupancy streams are q-dependent)."""
+    rng = np.random.default_rng(9)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=900)
+    pc = np.concatenate([xyz.astype(np.float32), rgb], axis=1)
+    qs = [(0.2, 0.2), (0.8, 0.8)]
+    multi = codec.compress_multi(pc, qs, block_size=128, geom="coded")
+    for q, blob in zip(qs, multi):
+        single = codec.compress(pc, q=q, block_size=128, geom="coded")
+        assert blob == single
+
+
+def test_refine_host_mirrors_device_keys():
+    """The host child enumeration and batch shift must mirror ops exactly
+    (a drift silently desyncs the occupancy coder)."""
+    from upcc_tpu.codec import refine
+    from upcc_tpu.ops import coords as Cc
+    from upcc_tpu.ops.sparse import upsample_children_keys
+    assert refine.BATCH_SHIFT == Cc.BATCH_SHIFT
+    rng = np.random.default_rng(3)
+    m = np.sort(rng.integers(0, 1 << 30, 50).astype(np.int64))
+    keys = (np.int64(2) << Cc.BATCH_SHIFT) | m
+    dev = np.asarray(upsample_children_keys(jnp.asarray(keys)))
+    host = refine.children_np(keys)
+    assert np.array_equal(dev, host)
+
+
+def test_bitstream_container_occ_roundtrip():
+    from upcc_tpu.codec import bitstream
+    blocks = [{"origin": (1, 2, 3), "levels": 4, "n_y": 5, "n_z": 2,
+               "q": (0.5, 0.5), "k": [1, 2, 5],
+               "coord_bytes": b"c", "y_bytes": b"yy", "z_bytes": b"z",
+               "occ_bytes": (b"o0", b"o11", b"o222")},
+              {"origin": (0, 0, 0), "levels": 4, "n_y": 3, "n_z": 1,
+               "q": (0.5, 0.5), "k": [1, 1, 3],
+               "coord_bytes": b"d", "y_bytes": b"y", "z_bytes": b"zz"}]
+    data = bitstream.write_container(None, blocks)
+    back, _ = bitstream.read_container(data)
+    assert back[0]["occ_bytes"] == (b"o0", b"o11", b"o222")
+    assert back[1]["occ_bytes"] is None

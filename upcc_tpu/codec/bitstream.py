@@ -17,26 +17,41 @@ MAGIC = b"UPCC"
 #       counting probabilities): same container layout, incompatible
 #       coord_bytes payload.  Old v2 streams must fail loudly rather than
 #       arithmetic-decode to silently corrupt coordinates.
-VERSION = 3
+#   4 — per-block flags byte; flag bit 0 = coded-occupancy refinement
+#       (lossless geometry, codec/refine.py) with three occupancy stream
+#       payloads after z_bytes.  Older streams fail loudly (the flags byte
+#       shifts the block layout).
+VERSION = 4
+FLAG_CODED_OCC = 1
 
 
 def write_container(path_or_none, blocks, scaling_factor=1.0):
     """blocks: list of dicts with keys
     origin (3 ints), levels, n_y, n_z, q (2 floats), k (3 ints),
-    coord_bytes, y_bytes, z_bytes.  Returns bytes if path is None."""
+    coord_bytes, y_bytes, z_bytes, and optionally occ_bytes (a tuple of
+    three per-level occupancy streams — the coded-geometry refinement).
+    Returns bytes if path is None."""
     out = bytearray()
     out += MAGIC
     out += struct.pack("<BfI", VERSION, scaling_factor, len(blocks))
     for b in blocks:
+        occ = b.get("occ_bytes")
+        flags = FLAG_CODED_OCC if occ else 0
         out += struct.pack(
-            "<iiiBIIff", *b["origin"], b["levels"], b["n_y"], b["n_z"],
-            float(b["q"][0]), float(b["q"][1]))
+            "<iiiBIIffB", *b["origin"], b["levels"], b["n_y"], b["n_z"],
+            float(b["q"][0]), float(b["q"][1]), flags)
         out += struct.pack("<III", len(b["coord_bytes"]), len(b["y_bytes"]),
                            len(b["z_bytes"]))
         out += struct.pack("<iii", *[int(v) for v in b["k"]])
+        if occ:
+            assert len(occ) == 3
+            out += struct.pack("<III", *[len(s) for s in occ])
         out += b["coord_bytes"]
         out += b["y_bytes"]
         out += b["z_bytes"]
+        if occ:
+            for s in occ:
+                out += s
     data = bytes(out)
     if path_or_none:
         with open(path_or_none, "wb") as f:
@@ -60,28 +75,41 @@ def read_container(path_or_bytes):
     if ver != VERSION:
         raise ValueError(
             f"unsupported bitstream version {ver} (expected {VERSION}); "
-            "version 2 streams use the incompatible v2 octree coordinate "
-            "coder and cannot be decoded by this build")
+            "older streams use incompatible coordinate-coder/block layouts "
+            "and cannot be decoded by this build")
     pos = 4 + struct.calcsize("<BfI")
     blocks = []
-    hdr_size = struct.calcsize("<iiiBIIff") + struct.calcsize("<III") \
+    hdr_size = struct.calcsize("<iiiBIIffB") + struct.calcsize("<III") \
         + struct.calcsize("<iii")
     for _ in range(n_blocks):
         if pos + hdr_size > len(data):
             raise ValueError("truncated bitstream: block header incomplete")
-        ox, oy, oz, levels, n_y, n_z, qg, qa = struct.unpack_from("<iiiBIIff", data, pos)
-        pos += struct.calcsize("<iiiBIIff")
+        ox, oy, oz, levels, n_y, n_z, qg, qa, flags = struct.unpack_from(
+            "<iiiBIIffB", data, pos)
+        pos += struct.calcsize("<iiiBIIffB")
         lc, ly, lz = struct.unpack_from("<III", data, pos)
         pos += struct.calcsize("<III")
         k = struct.unpack_from("<iii", data, pos)
         pos += struct.calcsize("<iii")
-        if pos + lc + ly + lz > len(data):
+        occ_lens = None
+        if flags & FLAG_CODED_OCC:
+            if pos + struct.calcsize("<III") > len(data):
+                raise ValueError("truncated bitstream: occ header incomplete")
+            occ_lens = struct.unpack_from("<III", data, pos)
+            pos += struct.calcsize("<III")
+        if pos + lc + ly + lz + sum(occ_lens or ()) > len(data):
             raise ValueError("truncated bitstream: payload exceeds container")
         coord_bytes = data[pos:pos + lc]; pos += lc
         y_bytes = data[pos:pos + ly]; pos += ly
         z_bytes = data[pos:pos + lz]; pos += lz
+        occ_bytes = None
+        if occ_lens is not None:
+            occ_bytes = []
+            for L in occ_lens:
+                occ_bytes.append(data[pos:pos + L]); pos += L
+            occ_bytes = tuple(occ_bytes)
         blocks.append({"origin": (ox, oy, oz), "levels": levels, "n_y": n_y,
                        "n_z": n_z, "q": (qg, qa), "k": list(k),
                        "coord_bytes": coord_bytes, "y_bytes": y_bytes,
-                       "z_bytes": z_bytes})
+                       "z_bytes": z_bytes, "occ_bytes": occ_bytes})
     return blocks, scaling_factor

@@ -35,7 +35,7 @@ from ..models.unified import UnifiedModel
 from ..ops import coords as C
 from ..ops import family as F
 from ..ops.sparse import SparseTensor
-from . import bitstream
+from . import bitstream, refine
 
 MAX_GROUP = 63  # batch bits hold 6 bits; batch index 63 is reserved
 
@@ -83,7 +83,9 @@ def _chunk_decode_groups(blocks):
     for b in blocks:
         bp = int(b["k"][-1])
         if cur and (cur[-1]["q"] != b["q"] or len(cur) == MAX_GROUP
-                    or pts + bp > DEC_GROUP_PTS):
+                    or pts + bp > DEC_GROUP_PTS
+                    or (cur[-1].get("occ_bytes") is None)
+                    != (b.get("occ_bytes") is None)):
             items.append(cur)
             cur, pts = [], 0
         cur.append(b)
@@ -189,6 +191,7 @@ class Codec:
         self.tables = {
             "z": build_cdf_tables(bn, ch),
             "y": gaussian.build_cdf_tables(),
+            "occ": refine.build_occ_cdf_tables(),
         }
 
     # -- cached jitted device graphs ----------------------------------------
@@ -285,13 +288,91 @@ class Codec:
             return jax.jit(fn)
         return self._jit(("reconstruct", ycap, prune_caps, fmt), build)
 
+    # -- coded-occupancy refinement graphs (lossless geometry) ---------------
+    # Encoder and decoder MUST share these builders (same jit key -> same
+    # HLO -> bit-identical logits/bins): a fused encoder-only variant would
+    # round differently and desync the occupancy rANS streams.
+
+    def _refine_graph(self, ycap, caps_prefix, nlv):
+        """Stage ``nlv``: levels < nlv-1 select by the supplied keep masks,
+        level nlv-1 emits uint8 context bins of its occupancy logits."""
+        caps_prefix = tuple(caps_prefix)
+
+        def build():
+            def fn(params, y_keys, y_sym, dec, *ext_keep):
+                caps = caps_prefix + (8,) * (3 - len(caps_prefix))
+                logits = self.cmodel.apply(
+                    {"params": params}, y_keys, y_sym, dec,
+                    ext_keep=ext_keep, num_levels=nlv, prune_caps=caps,
+                    method=self.cmodel.decode_refine_device)
+                return refine.bin_logits(logits)
+            return jax.jit(fn)
+        return self._jit(("refine", ycap, caps_prefix, nlv), build)
+
+    def _coded_final_graph(self, ycap, caps):
+        """Final coded-mode pass: all three selections external, color head
+        on the exact decoded voxel set; same compact transfer format as
+        _reconstruct_graph."""
+        caps = tuple(caps)
+
+        def build():
+            def fn(params, y_keys, y_sym, dec, keep0, keep1, keep2):
+                st = self.cmodel.apply(
+                    {"params": params}, y_keys, y_sym, dec,
+                    ext_keep=(keep0, keep1, keep2), num_levels=3,
+                    prune_caps=caps, emit_last_logits=False,
+                    method=self.cmodel.decode_refine_device)
+                batch_u8 = jnp.where(st.valid, st.batch, 255).astype(jnp.uint8)
+                m = (st.keys & ((jnp.int64(1) << C.BATCH_SHIFT) - 1))
+                morton_i32 = jnp.where(st.valid, m, -1).astype(jnp.int32)
+                colors8 = jnp.clip(jnp.round(st.feats * 255.0), 0, 255
+                                   ).astype(jnp.uint8)
+                return batch_u8, morton_i32, colors8
+            return jax.jit(fn)
+        return self._jit(("coded_final", ycap, caps), build)
+
+    def _occ_stages(self, params, device, y_keys_dev, y_sym_dev, dec, ycap,
+                    parents0, g, get_bits):
+        """Shared driver of the three staged occupancy passes.
+
+        parents0: sorted valid y keys (numpy).  get_bits(lvl, occ_true,
+        bins_np, block_slices) -> occupancy bool array: the encoder codes
+        ``occ_true`` and returns it; the decoder ignores it and decodes
+        from the streams.  Returns (keeps_dev, caps, parents_final)."""
+        keeps_dev, caps = [], ()
+        parents = parents0
+        for lvl in range(3):
+            cap_in = ycap if lvl == 0 else caps[-1]
+            bins = self._t(
+                f"occ.bins{lvl}", self._refine_graph(ycap, caps, lvl + 1),
+                params, y_keys_dev, y_sym_dev, dec, *keeps_dev)
+            bins_np = np.asarray(bins[:8 * len(parents)])
+            pb = (parents >> refine.BATCH_SHIFT).astype(np.int32)
+            counts = np.bincount(pb, minlength=g)[:g] * 8
+            ofs = np.concatenate([[0], np.cumsum(counts)])
+            slices = [slice(int(ofs[i]), int(ofs[i + 1])) for i in range(g)]
+            occ = get_bits(lvl, parents, bins_np, slices)
+            cand = refine.children_np(parents)
+            sel = cand[occ]
+            keep_pad = np.zeros(8 * cap_in, bool)
+            keep_pad[:len(occ)] = occ
+            keeps_dev.append(self._dev(keep_pad, device))
+            caps = caps + (_bucket(len(sel)),)
+            parents = sel
+        return keeps_dev, caps, parents
+
     # -- encode --------------------------------------------------------------
 
     def compress(self, pointcloud, q, path=None, block_size=1024,
-                 scaling_factor=1.0):
+                 scaling_factor=1.0, geom="topk"):
         """pointcloud: numpy [N, 6] (xyz int, rgb in [0,1]). q: (q_g, q_a).
 
         Returns container bytes (or writes to path).
+
+        geom: "topk" (default, the reference's lossy ranked selection) or
+        "coded" — entropy-code every candidate's true occupancy bit with
+        the learned logit as context (codec/refine.py): geometry decodes
+        EXACTLY lossless at a rate cost equal to the heads' cross-entropy.
 
         block_size is capped at 1024 (vs the reference API's unchecked
         argument, model/model.py:94): block-local Morton codes ride the
@@ -300,6 +381,7 @@ class Codec:
         larger inputs are covered by more blocks, or pre-scale with
         scaling_factor."""
         assert self.tables is not None, "call update() first"
+        assert geom in ("topk", "coded"), geom
         # block-local morton codes must fit int32 for the compact upload
         # format (the reference's eval uses block sizes 1024/512 too,
         # evaluate.py:43-46)
@@ -309,13 +391,14 @@ class Codec:
         qv = np.asarray(q, np.float32).reshape(1, 2)
         results = self._map_groups(
             lambda item, dev: self._compress_group(item[0], item[1], qv,
-                                                   levels, device=dev),
+                                                   levels, device=dev,
+                                                   geom=geom),
             groups)
         blocks = [b for r in results for b in r]
         return bitstream.write_container(path, blocks, scaling_factor)
 
     def compress_multi(self, pointcloud, qs, block_size=1024,
-                       scaling_factor=1.0):
+                       scaling_factor=1.0, geom="topk"):
         """Multi-rate encode: one container per q in ``qs``, byte-identical
         to ``[compress(pointcloud, q) for q in qs]``.
 
@@ -328,6 +411,7 @@ class Codec:
         pass.  The reference re-encodes every operating point from scratch
         (/root/reference/evaluate.py:102-114)."""
         assert self.tables is not None, "call update() first"
+        assert geom in ("topk", "coded"), geom
         assert block_size <= 1024, "block_size > 1024 not supported"
         groups, levels = self._partition_blocks(pointcloud, block_size,
                                                 scaling_factor)
@@ -339,7 +423,8 @@ class Codec:
         for q in qs:
             qv = np.asarray(q, np.float32).reshape(1, 2)
             results = self._map_groups(
-                lambda sh, dev: self._encode_at_q(sh, qv), shareds)
+                lambda sh, dev: self._encode_at_q(sh, qv, geom=geom),
+                shareds)
             blocks = [b for r in results for b in r]
             out.append(bitstream.write_container(None, blocks,
                                                  scaling_factor))
@@ -403,7 +488,7 @@ class Codec:
                 yield window.popleft().result()
 
     def compress_stream(self, frames, q, block_size=1024, scaling_factor=1.0,
-                        depth=2):
+                        depth=2, geom="topk"):
         """Pipelined encode of an iterable of frames; yields container
         bytes in input order, byte-identical to sequential compress()
         (each frame is independent; graphs are pure and shared read-only).
@@ -411,7 +496,8 @@ class Codec:
         frame-at-a-time (/root/reference/evaluate.py:102-114)."""
         yield from self._stream(
             frames, lambda f: self.compress(f, q, block_size=block_size,
-                                            scaling_factor=scaling_factor),
+                                            scaling_factor=scaling_factor,
+                                            geom=geom),
             depth)
 
     def decompress_stream(self, containers, depth=2):
@@ -431,10 +517,11 @@ class Codec:
         dev = self.devices[0] if self.devices else None
         return [fn(item, dev) for item in items]
 
-    def _compress_group(self, group, origins, qv, levels, device=None):
+    def _compress_group(self, group, origins, qv, levels, device=None,
+                        geom="topk"):
         """Encode up to MAX_GROUP blocks in one batched device pass."""
         shared = self._encode_shared(group, origins, levels, device=device)
-        return self._encode_at_q(shared, qv)
+        return self._encode_at_q(shared, qv, geom=geom)
 
     def _encode_shared(self, group, origins, levels, device=None):
         """q-independent half of the encode: voxelize, host pyramid
@@ -513,16 +600,23 @@ class Codec:
                 "levels": levels, "origins": origins,
                 "enc": enc, "hyp": hyp, "z_rn": z_rn,
                 "y_keys": y_keys, "y_feats": y_feats,
+                # exact GT level sets for the coded-occupancy mode: the
+                # selection targets at strides 4, 2, 1 (sorted, batch-major)
+                "gt_levels": (lvl_keys[1], lvl_keys[0],
+                              keys_host[keys_host != sent]),
                 "y_keys_np": y_keys_np, "yv": yv, "n_y": n_y, "ycap": ycap,
                 "z_caps": z_caps, "hs_caps": hs_caps, "n_z": n_z,
                 "ny_b": ny_b, "y_ofs": y_ofs, "nz_b": nz_b, "z_ofs": z_ofs,
                 # q-independent stream bytes, filled on the first q pass
                 "z_bytes": None, "coord_bytes": None, "k_all": None}
 
-    def _encode_at_q(self, sh, qv):
+    def _encode_at_q(self, sh, qv, geom="topk"):
         """q-dependent half of the encode: gain/param graphs, symbol
         extraction, per-block y rANS streams.  Coordinate and z streams
-        are coded once and cached in ``sh`` across q passes."""
+        are coded once and cached in ``sh`` across q passes.  geom="coded"
+        additionally closed-loop-codes per-candidate occupancy (the
+        streams are q-dependent: the context logits read the dequantized
+        latents)."""
         device = sh["device"]
         qv_np = np.asarray(qv, np.float32).reshape(1, 2)
         qv = self._dev(qv_np, device)
@@ -558,6 +652,26 @@ class Codec:
         y_vals = y_vals[:n_y]
         if sh["k_all"] is None:
             sh["k_all"] = k_all
+
+        occ_streams = None
+        if geom == "coded":
+            occ_streams = [[] for _ in range(g)]
+            gt = sh["gt_levels"]
+            ot = self.tables["occ"]
+
+            def _code_bits(lvl, parents, bins_np, slices):
+                occ = refine.occupancy_np(refine.children_np(parents),
+                                          gt[lvl])
+                for i, s in enumerate(slices):
+                    occ_streams[i].append(self._t(
+                        "enc.rans_occ", rans.encode_with_indexes,
+                        occ[s].astype(np.int32), bins_np[s].astype(np.int32),
+                        ot["cdf"], ot["cdf_length"], ot["offset"]))
+                return occ
+
+            self._occ_stages(params, device, sh["y_keys"],
+                             sym_out["y_sym"], dec, ycap,
+                             y_keys_np[yv], g, _code_bits)
 
         fill_shared = sh["z_bytes"] is None
         if fill_shared:
@@ -596,7 +710,9 @@ class Codec:
                            "q": (float(qv_np[0, 0]), float(qv_np[0, 1])),
                            "k": sh["k_all"][:, i].tolist(),
                            "coord_bytes": coord_bytes, "y_bytes": y_bytes,
-                           "z_bytes": z_bytes})
+                           "z_bytes": z_bytes,
+                           "occ_bytes": (tuple(occ_streams[i])
+                                         if occ_streams else None)})
         return blocks
 
     # -- decode --------------------------------------------------------------
@@ -713,6 +829,34 @@ class Codec:
                     "means": np.asarray(dec["means_hat"][:ypre])[:n_y][sl].copy()})
                 pos += b["n_y"]
 
+        if blks[0].get("occ_bytes") is not None:
+            # coded-occupancy (lossless-geometry) container: staged decode —
+            # each level's occupancy bits are rANS-decoded against the
+            # device-computed context bins, then fed back as the next
+            # stage's selection (codec/refine.py)
+            y_sym_dev = self._dev(y_sym, device)
+            ot = self.tables["occ"]
+
+            def _decode_bits(lvl, parents, bins_np, slices):
+                occ = np.empty(8 * len(parents), bool)
+                for b, s in zip(blks, slices):
+                    vals = self._t("dec.rans_occ", rans.decode_with_indexes,
+                                   b["occ_bytes"][lvl],
+                                   bins_np[s].astype(np.int32),
+                                   ot["cdf"], ot["cdf_length"], ot["offset"])
+                    occ[s] = vals.astype(bool)
+                return occ
+
+            keeps_dev, ccaps, final_keys = self._occ_stages(
+                params, device, y_keys, y_sym_dev, dec, ycap,
+                y_keys_np[y_keys_np != sent], g, _decode_bits)
+            batch_u8, morton_i32, colors8 = self._t(
+                "dec.reconstruct", self._coded_final_graph(ycap, ccaps),
+                params, y_keys, y_sym_dev, dec, *keeps_dev)
+            opre = min(_bucket(len(final_keys), 64), ccaps[2])
+            return self._fetch_points(blks, g, batch_u8, morton_i32,
+                                      colors8, opre)
+
         k = np.zeros((3, 64), np.int32)
         for i, b in enumerate(blks):
             k[:, i] = b["k"]
@@ -751,6 +895,10 @@ class Codec:
         # single-block frames skip the batch fetch entirely — every point
         # shares origin 0
         opre = min(_bucket(int(k[2].sum()), 64), prune_caps[2])
+        return self._fetch_points(blks, g, batch_u8, morton_i32, colors8,
+                                  opre)
+    def _fetch_points(self, blks, g, batch_u8, morton_i32, colors8, opre):
+        """Fetch the decoded prefix and assemble the [N, 6] host cloud."""
         if g == 1:
             mi, co = self._t("dec.fetch_out", lambda: jax.device_get(
                 (morton_i32[:opre], colors8[:opre])))

@@ -213,7 +213,8 @@ class SparseSynthesisTransform(nn.Module):
 
     @nn.compact
     def __call__(self, y: SparseTensor, k, prune_caps=None, y_struct=None,
-                 num_levels=3, oracle_gt=None, oracle_levels=()):
+                 num_levels=3, oracle_gt=None, oracle_levels=(),
+                 ext_keep=(), emit_last_logits=False):
         """y: latents (stride 8). k: int32[3, max_batch] target counts.
         prune_caps: optional static (c1, c2, c3) pruned-level capacities
         (the decoder sizes these from the transmitted k).
@@ -228,6 +229,15 @@ class SparseSynthesisTransform(nn.Module):
         GT membership (candidate key in ``oracle_gt[lvl]``) instead of the
         predicted logits, isolating which level's occupancy misrankings
         cost reconstruction quality (see scripts/diag_geometry.py).
+
+        ext_keep/emit_last_logits: the coded-occupancy refinement hooks
+        (codec/refine.py).  ``ext_keep[lvl]`` (bool, candidate-aligned)
+        replaces the top-k ranking at that level with an externally
+        decoded selection — the entropy-coded occupancy bits of the
+        lossless-geometry mode.  ``emit_last_logits=True`` stops at level
+        ``num_levels-1`` right after its occupancy logits (no prune, no
+        color head): the staged decoder codes that level's bits on the
+        host, then re-enters with one more ``ext_keep`` entry.
 
         Returns (x_hat, candidates, logits_list) as in the reference
         training path (model.py:79, transforms.py:214-222)."""
@@ -346,10 +356,15 @@ class SparseSynthesisTransform(nn.Module):
                                     feats=cfeats, stride=x.stride // 2)
                 cands.append(cand)
                 logits_list.append(logits)
-                with jax.named_scope(f"gs_topk_l{lvl}"):
-                    keep = topk_mask(cand, _prune_logits(lvl, cand.keys,
-                                                         logits, cvalid),
-                                     _k_eff(lvl)) & cvalid
+                if emit_last_logits and lvl == num_levels - 1:
+                    break
+                if lvl < len(ext_keep):
+                    keep = ext_keep[lvl] & cvalid
+                else:
+                    with jax.named_scope(f"gs_topk_l{lvl}"):
+                        keep = topk_mask(cand, _prune_logits(lvl, cand.keys,
+                                                             logits, cvalid),
+                                         _k_eff(lvl)) & cvalid
                 with jax.named_scope(f"gs_prune_l{lvl}"):
                     pk, pf = compact(child_keys, keep, cand.feats,
                                      out_capacity=caps[lvl])[:2]
@@ -392,10 +407,15 @@ class SparseSynthesisTransform(nn.Module):
                 logits = OccupancyHead(pcin, pchid, name=pname)(cf, cfeats, cvalid)
             cands.append(cand)
             logits_list.append(logits)
-            with jax.named_scope(f"gs_topk_l{lvl}"):
-                keep = topk_mask(cand, _prune_logits(lvl, cand.keys, logits,
-                                                     cvalid),
-                                 _k_eff(lvl)) & cvalid
+            if emit_last_logits and lvl == num_levels - 1:
+                break
+            if lvl < len(ext_keep):
+                keep = ext_keep[lvl] & cvalid
+            else:
+                with jax.named_scope(f"gs_topk_l{lvl}"):
+                    keep = topk_mask(cand, _prune_logits(lvl, cand.keys,
+                                                         logits, cvalid),
+                                     _k_eff(lvl)) & cvalid
             # prune with parent links carried through the compaction
             with jax.named_scope(f"gs_prune_l{lvl}"):
                 pk, pf, ppar, pslot = compact(child_keys, keep, cand.feats,
@@ -419,7 +439,7 @@ class SparseSynthesisTransform(nn.Module):
                 x = x.replace(feats=GDN(cout, inverse=True,
                                         name=f"igdn{lvl + 2}")(x.feats))
 
-        if num_levels == 3:
+        if num_levels == 3 and not emit_last_logits:
             f = PointwiseConv(self.N1 // 4, self.C_out, name="color_conv")(
                 x.feats, x.valid)
             x = x.replace(feats=f)

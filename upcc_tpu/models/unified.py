@@ -140,6 +140,31 @@ class UnifiedModel(nn.Module):
                                num_levels=num_levels)
         return x_hat
 
+    def decode_refine_device(self, y_keys, y_sym, dec, ext_keep=(),
+                             num_levels=3, prune_caps=None,
+                             emit_last_logits=True):
+        """Staged synthesis for the coded-occupancy (lossless-geometry)
+        mode (codec/refine.py).  Levels < len(ext_keep) select by the
+        externally decoded occupancy masks; with ``emit_last_logits`` the
+        pass stops at level ``num_levels-1`` and returns that level's
+        occupancy logits (candidate-aligned) for host entropy coding.
+        With ``emit_last_logits=False`` (all three masks supplied) it
+        returns the final colored reconstruction instead."""
+        y_hat_feats = self.entropy_model.dequantize_y_device(y_sym, dec)
+        y_hat = SparseTensor(keys=y_keys, feats=y_hat_feats, stride=8)
+        kz = jnp.zeros((3, self.config.get("max_batch", 8)), jnp.int32)
+        x_hat, _, logits_list = self.g_s(
+            y_hat, kz, prune_caps=prune_caps, y_struct=dec.get("y_struct"),
+            num_levels=num_levels, ext_keep=ext_keep,
+            emit_last_logits=emit_last_logits)
+        if emit_last_logits:
+            # NOTE: encoder and decoder must call this through the SAME
+            # staged jit graph per level (same builder key): a fused
+            # multi-level variant would fuse/round differently and desync
+            # the context bins between the two sides.
+            return logits_list[num_levels - 1]
+        return x_hat
+
     def decode_synthesis_device(self, y_keys, y_hat_feats, k, prune_caps=None):
         y_hat = SparseTensor(keys=y_keys, feats=y_hat_feats, stride=8)
         x_hat, _, _ = self.g_s(y_hat, k, prune_caps=prune_caps)
