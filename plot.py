@@ -33,6 +33,10 @@ RUNS = {
         "label": "Ours", "color": "tab:blue", "marker": "o",
         "linestyle": "-", "bd_points": _OURS_BD,
     },
+    "CVPR_inverse_scaling_coded": {
+        "label": "Ours (lossless geometry)", "color": "tab:olive",
+        "marker": "*", "linestyle": "-", "bd_points": _OURS_BD,
+    },
     "CVPR_inverse_nn": {
         "label": "Ours (learned rescale)", "color": "tab:orange",
         "marker": "s", "linestyle": "--", "bd_points": _OURS_BD,

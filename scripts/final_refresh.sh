@@ -25,10 +25,17 @@ timeout 7200 python -u evaluate.py --experiments CVPR_inverse_scaling \
     --q_steps 3 --sequences basketball_player dancer exercise model \
     --append > /tmp/refresh_eval_vox11.log 2>&1
 
+# 1b. lossless-geometry (coded occupancy) sweep: a 3x3 grid suffices —
+#     geometry is exact at every q, only the rate/color trade moves.
+#     Writes results/CVPR_inverse_scaling_coded/test.csv.
+timeout 5400 python -u evaluate.py --experiments CVPR_inverse_scaling \
+    --q_steps 3 --sequences loot longdress --geom coded --append \
+    > /tmp/refresh_eval_coded.log 2>&1
+
 # 2. plots + BD deltas (CPU only)
 timeout 1800 env JAX_PLATFORMS=cpu python -u plot.py \
-    --experiments CVPR_inverse_scaling gpcc_native --anchor gpcc_native \
-    --anchor_points pareto \
+    --experiments CVPR_inverse_scaling CVPR_inverse_scaling_coded \
+    gpcc_native --anchor gpcc_native --anchor_points pareto \
     > /tmp/refresh_plot.log 2>&1
 
 # 3. official bench (median of best 5 of 7)
