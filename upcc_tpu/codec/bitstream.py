@@ -21,22 +21,33 @@ MAGIC = b"UPCC"
 #       (lossless geometry, codec/refine.py) with three occupancy stream
 #       payloads after z_bytes.  Older streams fail loudly (the flags byte
 #       shifts the block layout).
-VERSION = 4
+#   5 — flag bit 1 = per-frame measured occupancy coding tables (refine.py
+#       quantize_tables) attached to the block: 1 byte n_bins + 3*n_bins
+#       uint16 rows after the occ stream lengths.  The encoder attaches
+#       them to the first block of each q pass; the decoder carries them
+#       forward across the q run.  v4 coded streams (static sigmoid
+#       tables) would silently decode to wrong occupancy bits under the
+#       new tables, hence the loud version bump.
+VERSION = 5
 FLAG_CODED_OCC = 1
+FLAG_OCC_TABLES = 2
 
 
 def write_container(path_or_none, blocks, scaling_factor=1.0):
     """blocks: list of dicts with keys
     origin (3 ints), levels, n_y, n_z, q (2 floats), k (3 ints),
     coord_bytes, y_bytes, z_bytes, and optionally occ_bytes (a tuple of
-    three per-level occupancy streams — the coded-geometry refinement).
-    Returns bytes if path is None."""
+    three per-level occupancy streams — the coded-geometry refinement)
+    plus occ_tables (uint16 [3, n_bins] measured coding tables, attached
+    to the first block of each q pass).  Returns bytes if path is None."""
     out = bytearray()
     out += MAGIC
     out += struct.pack("<BfI", VERSION, scaling_factor, len(blocks))
     for b in blocks:
         occ = b.get("occ_bytes")
-        flags = FLAG_CODED_OCC if occ else 0
+        tab = b.get("occ_tables") if occ else None
+        flags = (FLAG_CODED_OCC if occ else 0) \
+            | (FLAG_OCC_TABLES if tab is not None else 0)
         out += struct.pack(
             "<iiiBIIffB", *b["origin"], b["levels"], b["n_y"], b["n_z"],
             float(b["q"][0]), float(b["q"][1]), flags)
@@ -46,6 +57,12 @@ def write_container(path_or_none, blocks, scaling_factor=1.0):
         if occ:
             assert len(occ) == 3
             out += struct.pack("<III", *[len(s) for s in occ])
+            if tab is not None:
+                import numpy as _np
+                tab = _np.ascontiguousarray(tab, _np.uint16)
+                assert tab.shape[0] == 3
+                out += struct.pack("<B", tab.shape[1])
+                out += tab.tobytes()
         out += b["coord_bytes"]
         out += b["y_bytes"]
         out += b["z_bytes"]
@@ -91,12 +108,26 @@ def read_container(path_or_bytes):
         pos += struct.calcsize("<III")
         k = struct.unpack_from("<iii", data, pos)
         pos += struct.calcsize("<iii")
-        occ_lens = None
+        occ_lens, occ_tables = None, None
         if flags & FLAG_CODED_OCC:
             if pos + struct.calcsize("<III") > len(data):
                 raise ValueError("truncated bitstream: occ header incomplete")
             occ_lens = struct.unpack_from("<III", data, pos)
             pos += struct.calcsize("<III")
+            if flags & FLAG_OCC_TABLES:
+                import numpy as _np
+                if pos + 1 > len(data):
+                    raise ValueError(
+                        "truncated bitstream: occ table header incomplete")
+                (nb,) = struct.unpack_from("<B", data, pos)
+                pos += 1
+                end = pos + 3 * nb * 2
+                if end > len(data):
+                    raise ValueError(
+                        "truncated bitstream: occ tables incomplete")
+                occ_tables = _np.frombuffer(
+                    data[pos:end], _np.uint16).reshape(3, nb).copy()
+                pos = end
         if pos + lc + ly + lz + sum(occ_lens or ()) > len(data):
             raise ValueError("truncated bitstream: payload exceeds container")
         coord_bytes = data[pos:pos + lc]; pos += lc
@@ -111,5 +142,6 @@ def read_container(path_or_bytes):
         blocks.append({"origin": (ox, oy, oz), "levels": levels, "n_y": n_y,
                        "n_z": n_z, "q": (qg, qa), "k": list(k),
                        "coord_bytes": coord_bytes, "y_bytes": y_bytes,
-                       "z_bytes": z_bytes, "occ_bytes": occ_bytes})
+                       "z_bytes": z_bytes, "occ_bytes": occ_bytes,
+                       "occ_tables": occ_tables})
     return blocks, scaling_factor

@@ -653,15 +653,20 @@ class Codec:
         if sh["k_all"] is None:
             sh["k_all"] = k_all
 
-        occ_streams = None
+        occ_streams, occ_tables = None, None
         if geom == "coded":
             occ_streams = [[] for _ in range(g)]
+            occ_tables = np.zeros((3, refine.N_BINS), np.uint16)
             gt = sh["gt_levels"]
-            ot = self.tables["occ"]
 
             def _code_bits(lvl, parents, bins_np, slices):
                 occ = refine.occupancy_np(refine.children_np(parents),
                                           gt[lvl])
+                # two-pass measured tables (refine.quantize_tables): the
+                # level's empirical per-bin frequencies replace the static
+                # sigmoid tables; the quantized row rides the container
+                occ_tables[lvl] = refine.quantize_tables(occ, bins_np)
+                ot = refine.tables_from_quantized(occ_tables[lvl])
                 for i, s in enumerate(slices):
                     occ_streams[i].append(self._t(
                         "enc.rans_occ", rans.encode_with_indexes,
@@ -712,7 +717,11 @@ class Codec:
                            "coord_bytes": coord_bytes, "y_bytes": y_bytes,
                            "z_bytes": z_bytes,
                            "occ_bytes": (tuple(occ_streams[i])
-                                         if occ_streams else None)})
+                                         if occ_streams else None),
+                           # measured coding tables ride the q pass's first
+                           # block; the decoder carries them down the q run
+                           "occ_tables": (occ_tables if occ_streams and i == 0
+                                          else None)})
         return blocks
 
     # -- decode --------------------------------------------------------------
@@ -721,6 +730,17 @@ class Codec:
         """Returns numpy [N, 6] (xyz int, rgb in [0,1] on the 8-bit grid)."""
         assert self.tables is not None, "call update() first"
         blocks, scaling_factor = bitstream.read_container(path_or_bytes)
+        # measured occupancy tables ride the first block of each q pass;
+        # carry them forward so every decode group (which may start mid-run
+        # after point-budget chunking) sees its run's tables at blks[0]
+        tab = None
+        for b in blocks:
+            if b.get("occ_bytes") is None:
+                tab = None
+            elif b.get("occ_tables") is not None:
+                tab = b["occ_tables"]
+            else:
+                b["occ_tables"] = tab
         # q is stored per block; a device group shares one q vector (it feeds
         # the batched gain nets), so group only runs of equal q — mixed-q
         # containers decode correctly instead of desyncing the rANS indexes.
@@ -835,9 +855,13 @@ class Codec:
             # device-computed context bins, then fed back as the next
             # stage's selection (codec/refine.py)
             y_sym_dev = self._dev(y_sym, device)
-            ot = self.tables["occ"]
+            tab = blks[0].get("occ_tables")
 
             def _decode_bits(lvl, parents, bins_np, slices):
+                # per-level measured tables from the container (v5); static
+                # sigmoid fallback only for hand-built table-less streams
+                ot = (refine.tables_from_quantized(tab[lvl])
+                      if tab is not None else self.tables["occ"])
                 occ = np.empty(8 * len(parents), bool)
                 for b, s in zip(blks, slices):
                     vals = self._t("dec.rans_occ", rans.decode_with_indexes,

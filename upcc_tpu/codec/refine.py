@@ -54,19 +54,54 @@ def bin_probabilities():
     return np.clip(p, _P_MIN, 1.0 - _P_MIN)
 
 
-def build_occ_cdf_tables(precision=16):
+def _tables_from_probs(probs, precision=16):
     """Binary CDF tables (one per context bin) in the rans coder's
     (cdf, cdf_length, offset) convention — symbols are {0, 1}."""
     from ..coding.rans import pmf_to_quantized_cdf
-    probs = bin_probabilities()
-    cdfs = np.zeros((N_BINS, 4), np.int32)
-    lengths = np.zeros((N_BINS,), np.int32)
+    cdfs = np.zeros((len(probs), 4), np.int32)
+    lengths = np.zeros((len(probs),), np.int32)
     for i, p in enumerate(probs):
         qc = pmf_to_quantized_cdf([1.0 - p, p], _P_MIN, precision)
         cdfs[i, :len(qc)] = qc
         lengths[i] = len(qc)
     return {"cdf": cdfs, "cdf_length": lengths,
-            "offset": np.zeros((N_BINS,), np.int32)}
+            "offset": np.zeros((len(probs),), np.int32)}
+
+
+def build_occ_cdf_tables(precision=16):
+    """Static fallback tables: sigmoid of each bin center.  The production
+    path uses per-frame measured tables (quantize_tables below) — the heads
+    are trained with a focal loss, whose probabilities are systematically
+    miscalibrated for coding, and the three levels have very different
+    occupancy priors; both effects are captured exactly by two-pass
+    measurement at ~65 B/level of side info."""
+    return _tables_from_probs(bin_probabilities(), precision)
+
+
+# Per-frame measured tables: 12-bit quantized per-bin occupancy frequency.
+TABLE_SCALE = 4096
+
+
+def quantize_tables(occ, bins):
+    """uint16[N_BINS] quantized empirical P(occ=1 | bin) for ONE level,
+    KT-smoothed so empty/rare bins stay sane.  Encoder measures this over
+    the whole level (all blocks of the q pass) before coding — rANS needs
+    static per-stream tables, so adaptation is two-pass, with the table
+    riding the container (bitstream.py FLAG_OCC_TABLES)."""
+    occ = np.asarray(occ, np.float64)
+    bins = np.asarray(bins, np.int64)
+    n = np.bincount(bins, minlength=N_BINS).astype(np.float64)[:N_BINS]
+    k = np.bincount(bins, weights=occ, minlength=N_BINS)[:N_BINS]
+    p = (k + 0.5) / (n + 1.0)
+    pq = np.clip(np.round(p * TABLE_SCALE), 1, TABLE_SCALE - 1)
+    return pq.astype(np.uint16)
+
+
+def tables_from_quantized(pq, precision=16):
+    """rANS tables for one level from the container's quantized row."""
+    p = np.clip(np.asarray(pq, np.float64) / TABLE_SCALE,
+                _P_MIN, 1.0 - _P_MIN)
+    return _tables_from_probs(p, precision)
 
 
 def children_np(parent_keys):
