@@ -7,6 +7,14 @@ weights.msgpack, val.csv}.
 """
 
 import argparse
+import faulthandler
+import signal
+
+# kill -USR1 <pid> dumps all thread stacks to stderr without disturbing
+# the run — the only hang-diagnosis tool on this box (no py-spy/gdb), and
+# the round-3 spin-hang (futex churn at ~94% CPU, no device IO) is
+# invisible to the watchdog's frozen-CPU detector.
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 
 def main():
