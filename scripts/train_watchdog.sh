@@ -31,14 +31,18 @@ while [ "$(date +%s)" -lt "$END" ]; do
                 break
             fi
             sleep 60
-            # utime+stime across all threads; frozen => hung client
+            # utime+stime across all threads; frozen => hung client.
+            # Near-frozen counts too: a dead-stream hang still drips a few
+            # ticks/min (observed 27 ticks in 12 min, round-3 session 7),
+            # which would reset a strict equality check forever.
             cpu=$(awk '{print $14 + $15}' "/proc/$TPID/stat" 2>/dev/null) || cpu=""
             [ -n "$cpu" ] || break
-            if [ "$cpu" = "$last_cpu" ]; then
+            if [ "$last_cpu" -ge 0 ] && [ $((cpu - last_cpu)) -le 5 ]; then
                 idle=$((idle + 60))
             else
-                idle=0 last_cpu=$cpu
+                idle=0
             fi
+            last_cpu=$cpu
             if [ "$idle" -ge "$STALL_S" ]; then
                 echo "=== $(date -u +%H:%M:%S) stall: trainer cputime frozen ${idle}s, killing ===" >> "$LOG"
                 kill "$TPID" 2>/dev/null; sleep 30
