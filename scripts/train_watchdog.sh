@@ -22,6 +22,8 @@ while [ "$(date +%s)" -lt "$END" ]; do
         echo "=== $(date -u +%H:%M:%S) tunnel up, training for <=${left}s ===" >> "$LOG"
         python -u train.py --config "$CFG" >> "$LOG" 2>&1 &
         TPID=$!
+        # published so bench.py can SIGSTOP the trainer during measurement
+        echo "$TPID" > /tmp/upcc_train.pid
         last_cpu=-1 idle=0
         while kill -0 "$TPID" 2>/dev/null; do
             if [ "$(date +%s)" -ge "$END" ]; then
@@ -31,6 +33,21 @@ while [ "$(date +%s)" -lt "$END" ]; do
                 break
             fi
             sleep 60
+            # bench pause: bench.py SIGSTOPs the trainer and drops a
+            # marker; skip stall accounting while it is present.  A
+            # marker older than 1 h means the bench died un-resumed —
+            # clear it and SIGCONT so training continues.
+            if [ -f /tmp/upcc_bench_pause ]; then
+                m_age=$(( $(date +%s) - $(stat -c %Y /tmp/upcc_bench_pause) ))
+                if [ "$m_age" -ge 3600 ]; then
+                    echo "=== stale bench pause (${m_age}s), resuming trainer ===" >> "$LOG"
+                    rm -f /tmp/upcc_bench_pause
+                    kill -CONT "$TPID" 2>/dev/null
+                fi
+                idle=0
+                last_cpu=-1
+                continue
+            fi
             # utime+stime across all threads; frozen => hung client.
             # Near-frozen counts too: a dead-stream hang still drips a few
             # ticks/min (observed 27 ticks in 12 min, round-3 session 7),
