@@ -22,18 +22,25 @@ DUR=${1:-28800}
 EXP=${2:-CVPR_inverse_scaling}
 EVERY=${3:-1200}
 MIN_GAP=${4:-6}
-cd /root/repo || exit 1
+cd "${UPCC_REPO:-/root/repo}" || exit 1
 END=$(($(date +%s) + DUR))
 SNAP="results/$EXP/weights_bf16.msgpack"
 META="$SNAP.meta.json"
-last=$(python -c "import json; print(json.load(open('$META'))['epoch'])" \
-    2>/dev/null || echo -1)
+# sed, not python: sitecustomize pre-imports jax into every python
+# process on this host (~seconds of startup per invocation)
+meta_epoch() { sed -n 's/.*"epoch"[^0-9-]*\(-\{0,1\}[0-9][0-9]*\).*/\1/p' \
+    | head -1; }
+# seed from the last COMMITTED epoch (not the working tree: an on-disk
+# snapshot the trainer wrote before this loop started may itself be
+# uncommitted, and must not be mistaken for already-saved state)
+last=$(git show "HEAD:$META" 2>/dev/null | meta_epoch)
+[ -n "$last" ] || last=-1
 echo "snapshot_loop: exp=$EXP every=${EVERY}s last_committed_epoch=$last"
 while [ "$(date +%s)" -lt "$END" ]; do
     sleep "$EVERY"
     [ -f "$META" ] || continue
-    ep=$(python -c "import json; print(json.load(open('$META'))['epoch'])" \
-        2>/dev/null) || continue
+    ep=$(meta_epoch < "$META")
+    [ -n "$ep" ] || continue
     [ $((ep - last)) -ge "$MIN_GAP" ] || continue
     # quiescence gate: the bf16 file is written non-atomically once per
     # epoch (~1 s of a ~390 s epoch); skip this tick if it is mid-write.
@@ -48,8 +55,8 @@ while [ "$(date +%s)" -lt "$END" ]; do
     fi
 done
 # final flush: commit whatever the trainer last wrote, gap or no gap
-ep=$(python -c "import json; print(json.load(open('$META'))['epoch'])" \
-    2>/dev/null || echo -1)
+ep=$(meta_epoch < "$META" 2>/dev/null)
+[ -n "$ep" ] || ep=-1
 if [ "$ep" -gt "$last" ]; then
     git add -f "$SNAP" "$META" "results/$EXP/val.csv" 2>/dev/null
     git commit -q -m "Insurance snapshot: epoch-$ep weights (loop flush)" \
