@@ -69,6 +69,7 @@ while [ "$(date +%s)" -lt "$END" ]; do
         done
         wait "$TPID" 2>/dev/null
         echo "=== $(date -u +%H:%M:%S) trainer exited rc=$? ===" >> "$LOG"
+        rm -f /tmp/upcc_train.pid  # never leave a stale PID for bench.py
     else
         echo "=== $(date -u +%H:%M:%S) tunnel down ===" >> "$LOG"
     fi
