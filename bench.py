@@ -45,7 +45,18 @@ def paused_trainer(pidfile="/tmp/upcc_train.pid",
     with open(marker, "w") as f:
         f.write(str(os.getpid()))
     print(f"# pausing trainer pid {pid} for the benchmark", flush=True)
-    os.kill(pid, signal.SIGSTOP)
+    try:
+        os.kill(pid, signal.SIGSTOP)
+    except OSError:
+        # trainer exited between the cmdline check and the kill: drop the
+        # marker (it would disable the watchdog's stall detector for up to
+        # 1 h) and run the benchmark un-paused
+        with contextlib.suppress(OSError):
+            os.remove(marker)
+        print("# trainer vanished before pause; benching un-paused",
+              flush=True)
+        yield
+        return
     try:
         yield
     finally:
@@ -148,6 +159,34 @@ def main():
         "value": round(1.0 / dt11, 4),
         "unit": "frames/s (1 chip, enc+dec, ~1.2M pts vox11, block 512)",
         "vs_baseline": None,
+    }))
+
+    # pipelined serving path: compress_stream/decompress_stream overlap the
+    # host-side stages of frame k+1 with the device stages of frame k
+    # (byte-identity with sequential compress() is equality-tested in
+    # tests/test_codec_roundtrip.py).  8 frames, best-of-2 sweeps.  This is
+    # the north-star frames/s/chip number for a serving deployment; the
+    # reference has no pipelined path (it encodes strictly frame-at-a-time,
+    # /root/reference/evaluate.py:102-114).
+    n_stream = 8
+    frames = [frame] * n_stream
+    stream_dts = []
+    for _ in range(2):
+        t0 = time.time()
+        blobs = list(codec.compress_stream(iter(frames), q=(0.5, 0.5),
+                                           block_size=1024))
+        outs = list(codec.decompress_stream(iter(blobs)))
+        stream_dts.append((time.time() - t0) / n_stream)
+    assert len(outs) == n_stream and outs[-1].shape[0] > 0
+    dts = min(stream_dts)
+    print(f"# stream per-frame times: {[round(t, 3) for t in stream_dts]}",
+          flush=True)
+    print(json.dumps({
+        "metric": "encdec_fps_vox10_stream",
+        "value": round(1.0 / dts, 4),
+        "unit": "frames/s (1 chip, pipelined enc+dec, 8-frame stream, "
+                "~760k pts vox10)",
+        "vs_baseline": round(1.0 / dts / baseline_fps, 2),
     }))
 
     print(json.dumps({

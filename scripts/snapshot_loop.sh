@@ -44,9 +44,20 @@ while [ "$(date +%s)" -lt "$END" ]; do
     [ $((ep - last)) -ge "$MIN_GAP" ] || continue
     # quiescence gate: the bf16 file is written non-atomically once per
     # epoch (~1 s of a ~390 s epoch); skip this tick if it is mid-write.
-    age=$(( $(date +%s) - $(stat -c %Y "$SNAP") ))
+    [ -f "$SNAP" ] || continue
+    mt0=$(stat -c %Y "$SNAP" 2>/dev/null)
+    [ -n "$mt0" ] || continue
+    age=$(( $(date +%s) - mt0 ))
     [ "$age" -ge 60 ] || continue
     git add -f "$SNAP" "$META" "results/$EXP/val.csv" 2>/dev/null
+    # re-stat AFTER the (multi-second, ~36 MB) add: if the trainer began
+    # its epoch write mid-add, the index holds a torn blob — skip this
+    # tick and let the next one pick up a quiescent snapshot.
+    mt1=$(stat -c %Y "$SNAP" 2>/dev/null)
+    if [ -z "$mt1" ] || [ "$mt1" != "$mt0" ]; then
+        echo "snapshot_loop: snapshot changed during add; skipping tick"
+        continue
+    fi
     if git commit -q \
         -m "Insurance snapshot: epoch-$ep weights (auto-commit loop)" \
         -- "$SNAP" "$META" "results/$EXP/val.csv" 2>/dev/null; then
@@ -55,6 +66,10 @@ while [ "$(date +%s)" -lt "$END" ]; do
     fi
 done
 # final flush: commit whatever the trainer last wrote, gap or no gap
+# (history-growth note: snapshots land on the CURRENT branch because the
+# re-image restore path only guarantees main; a prunable sidecar branch
+# would shrink clones but risk losing the insurance state it exists for.
+# MIN_GAP bounds growth to ~12 blobs per 8 h run.)
 ep=$(meta_epoch < "$META" 2>/dev/null)
 [ -n "$ep" ] || ep=-1
 if [ "$ep" -gt "$last" ]; then

@@ -74,6 +74,7 @@ def test_forward_shapes(model_and_params):
     assert (np.asarray(lik["y"]) > 0).all()
 
 
+@pytest.mark.slow
 def test_train_loss_decreases(model_and_params):
     model, params, x, q, lam = model_and_params
     loss_obj = Loss(LOSS_CFG, max_batch=2)
@@ -145,6 +146,7 @@ def test_gdn_formula():
     np.testing.assert_allclose(iout, fn * norm, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_host_root_maps_match_device_search(model_and_params):
     """Training forward with host-precomputed root neighbor maps must be
     bit-identical to the device-search path (same pyramid truncation)."""
@@ -194,6 +196,7 @@ def test_gs_grand_finest_matches_flat(model_and_params):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_conv_remat_matches_plain_grads(model_and_params):
     """jax.checkpoint on the brick convs must not change the loss or the
     gradients — it only drops residuals and recomputes in the backward."""

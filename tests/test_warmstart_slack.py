@@ -6,6 +6,10 @@ import numpy as np
 import pytest
 import yaml
 
+# full-fidelity tier (mini training runs, ~2.5 min total on this host);
+# quick tier = -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

@@ -78,3 +78,42 @@ def shard_batch(mesh, keys, feats, q, lam, rngs):
     return (jax.device_put(keys, sh), jax.device_put(feats, sh),
             jax.device_put(q, sh), jax.device_put(lam, sh),
             jax.device_put(rngs, sh))
+
+
+def local_dp_rows(mesh, axis="data"):
+    """This process's contiguous [lo, hi) rows of the 1-D data axis.
+
+    Multi-host batch prep builds only these rows (each host voxelizes its
+    own shards, so prep cost divides across hosts); single-host returns
+    (0, n_dp).  Raises if this process's devices are not a contiguous
+    block of the axis — make_array_from_process_local_data would then
+    need per-shard assembly, which make_mesh's jax.devices() ordering
+    never produces.
+    """
+    devs = list(mesh.devices.reshape(-1))
+    pid = jax.process_index()
+    rows = [i for i, d in enumerate(devs) if d.process_index == pid]
+    if not rows:
+        raise ValueError(f"process {pid} owns no devices on mesh axis {axis!r}")
+    lo, hi = rows[0], rows[-1] + 1
+    if rows != list(range(lo, hi)):
+        raise ValueError(
+            f"process {pid} devices are non-contiguous on axis {axis!r}: {rows}")
+    return lo, hi
+
+
+def shard_batch_from_local(mesh, tree, axis="data"):
+    """Build globally DP-sharded arrays from this process's local rows.
+
+    ``tree`` holds arrays whose leading axis is the LOCAL row count
+    (hi - lo from local_dp_rows).  Single-process this is plain
+    device_put; multi-process it assembles the global array from each
+    host's rows without any host ever materializing the full batch.
+    """
+    import numpy as np
+    sh = NamedSharding(mesh, P(axis))
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
+        tree)

@@ -9,11 +9,13 @@ side effects (checkpoints, CSVs, prints) gated to process 0.
 On a single host everything here is a no-op: initialize() skips when no
 coordinator is configured, and is_primary() is True.
 
-Known limitation (untestable here, no second host): the trainer's
-host-side batch prep builds the full global DP batch on every process
-(n_dp = global device count) instead of just this host's shard, so prep
-cost does not yet divide across hosts.  Correctness is unaffected — each
-device still receives exactly its shard.
+Host-side batch prep is sharded: each process voxelizes only the DP rows
+its local devices own (data_parallel.local_dp_rows) and the global batch
+is assembled with jax.make_array_from_process_local_data
+(data_parallel.shard_batch_from_local), so prep cost divides across
+hosts.  Multi-process execution is untestable on this single-host image;
+the single-process path is exercised by the DP equivalence tests and the
+row-slicing logic by tests/test_parallel.py.
 """
 
 import os

@@ -351,10 +351,19 @@ class Training:
         All shards are re-voxelized at the group's max ladder capacity so
         the stacked arrays are rectangular; each shard draws its own quality
         pair (the reference samples one scalar q per step, train.py:215 —
-        per-shard q is the DP generalization) and its own noise key."""
+        per-shard q is the DP generalization) and its own noise key.
+
+        Multi-host: only THIS process's rows of the device axis are
+        voxelized (parallel.data_parallel.local_dp_rows), so host-side prep
+        cost divides across hosts; q/lam/rng are sampled for the full group
+        first and then sliced, keeping every shard's draw independent of
+        the process count.  Returns local-row arrays — the caller assembles
+        the global batch with shard_batch_from_local."""
+        from ..parallel.data_parallel import local_dp_rows
+        lo, hi = local_dp_rows(self.dp_mesh)
         cap = max(len(b) for b, _, _ in group)
         keys_l, feats_l, nbrs_l = [], [], []
-        for b, x, c in group:
+        for b, x, c in group[lo:hi]:
             kk, ff = voxelize_host_np(b, x, c, cap)
             keys_l.append(kk)
             feats_l.append(ff)
@@ -367,8 +376,9 @@ class Training:
             qd, ld = self.q_func.sample(kqd, self.batch_size)
             qs.append(qd)
             lams.append(ld)
-        return (keys, feats, jnp.stack(qs), jnp.stack(lams),
-                jax.random.split(kn, len(group)), nbrs)
+        rngs = jax.random.split(kn, len(group))
+        return (keys, feats, jnp.stack(qs[lo:hi]), jnp.stack(lams[lo:hi]),
+                rngs[lo:hi], nbrs)
 
     # Bounded dispatch lookahead: metrics are fetched one step late, so the
     # host prepares batch k+1 (getitem/transforms/voxelize/root maps) and
@@ -393,10 +403,7 @@ class Training:
         if self.n_dp > 1:
             import itertools
 
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from ..parallel.data_parallel import shard_batch
-            sh = NamedSharding(self.dp_mesh, P("data"))
+            from ..parallel.data_parallel import shard_batch_from_local
             step = 0
             while True:
                 if self.max_steps_per_epoch and step >= self.max_steps_per_epoch:
@@ -406,11 +413,9 @@ class Training:
                     break
                 key, kq, kn = jax.random.split(key, 3)
                 if len(group) == self.n_dp:
-                    keys, feats, q, lam, rngs, nbrs = self._dp_group_arrays(
-                        group, kq, kn)
-                    keys, feats, q, lam, rngs = shard_batch(
-                        self.dp_mesh, keys, feats, q, lam, rngs)
-                    nbrs = jax.device_put(nbrs, sh)
+                    local = self._dp_group_arrays(group, kq, kn)
+                    keys, feats, q, lam, rngs, nbrs = shard_batch_from_local(
+                        self.dp_mesh, local)
                     self.state, metrics = self.dp_step_fn(
                         self.state, keys, feats, q, lam, rngs, nbrs)
                     push(metrics)
