@@ -142,7 +142,10 @@ def main():
     xyz11, rgb11 = surface_cloud(np.random.default_rng(7), extent=2047,
                                  n_target=1_200_000)
     frame11 = np.concatenate([xyz11.astype(np.float32), rgb11], 1)
-    codec.compress(frame11, q=(0.5, 0.5), block_size=512)  # warmup graphs
+    # warmup BOTH directions: decode has its own group graphs, and skipping
+    # it here made rep 1 pay a ~255 s cold decode compile in round 3
+    d11w = codec.compress(frame11, q=(0.5, 0.5), block_size=512)
+    codec.decompress(d11w)
     t11 = []
     for _ in range(5):
         t0 = time.time()

@@ -1,0 +1,105 @@
+#!/bin/sh
+# Round-4 close-out chain: stop training at STOP_AT (UTC HHMM), then run
+# the VERDICT-r3 artifact list in priority order with the TPU free.
+# Crash-safe: detached, every stage --appends and git-commits, and later
+# stages are time-gated against HARD_END (skipped, not squeezed).
+#   nohup sh scripts/r4_close_chain.sh [STOP_AT_HHMM] [HARD_END_HHMM] &
+set -x
+cd /root/repo || exit 1
+STOP_AT=${1:-1405}
+HARD_END=${2:-1800}
+# HHMM -> seconds-of-day; gates compare against $(sod).  awk, not shell
+# arithmetic: leading-zero minutes ("08") are octal-invalid in $((...)).
+hhmm_s() { echo "$1" | awk '{print int($1/100)*3600 + ($1%100)*60}'; }
+sod() { date -u +'%H %M %S' | awk '{print $1*3600 + $2*60 + $3}'; }
+STOP_S=$(hhmm_s "$STOP_AT")
+END_S=$(hhmm_s "$HARD_END")
+
+# 1. wait for the gate, then stop watchdog + trainer (checkpoint loss
+#    bounded by one epoch; trainer saves every epoch)
+while [ "$(sod)" -lt "$STOP_S" ]; do
+    # if the watchdog already exited (budget/stall), stop waiting
+    ps -p "$(cat /tmp/watchdog.pid 2>/dev/null || echo 0)" >/dev/null 2>&1 || break
+    sleep 60
+done
+WPID=$(cat /tmp/watchdog.pid 2>/dev/null || echo 0)
+[ "$WPID" -gt 0 ] && kill "$WPID" 2>/dev/null
+TPID=$(cat /tmp/upcc_train.pid 2>/dev/null || echo 0)
+if [ "$TPID" -gt 0 ] && kill -0 "$TPID" 2>/dev/null; then
+    kill "$TPID" 2>/dev/null
+    sleep 45
+    kill -9 "$TPID" 2>/dev/null
+fi
+rm -f /tmp/upcc_train.pid
+# stop the insurance snapshot loop too (chain commits the final snapshot)
+SPID=$(cat /tmp/snaploop.pid 2>/dev/null || echo 0)
+[ "$SPID" -gt 0 ] && kill "$SPID" 2>/dev/null
+sleep 10
+
+# 2. committable bf16 snapshot of the final weights + val trail
+python scripts/snapshot_weights.py CVPR_inverse_scaling \
+    > /tmp/r4_snapshot.log 2>&1
+git add -f results/CVPR_inverse_scaling/weights_bf16.msgpack \
+    results/CVPR_inverse_scaling/weights_bf16.msgpack.meta.json \
+    results/CVPR_inverse_scaling/val.csv
+git commit -m "Final flagship snapshot: round-4 weights + val trail" \
+    > /tmp/r4_git.log 2>&1
+
+# 3. lossless-geometry (coded occupancy) RD sweep — VERDICT missing #4.
+#    3x3 grid on loot+longdress: geometry is exact at every q_g, so the
+#    grid mostly exercises the q_a axis.
+if [ "$(sod)" -lt "$END_S" ]; then
+    timeout 5400 python -u evaluate.py --experiments CVPR_inverse_scaling \
+        --q_steps 3 --sequences loot longdress --geom coded --no_renders \
+        > /tmp/r4_eval_coded.log 2>&1
+    git add -f results/CVPR_inverse_scaling_coded/test.csv
+    git commit -m "Lossless-geometry RD sweep: loot+longdress 3x3 (coded occupancy)" \
+        >> /tmp/r4_git.log 2>&1
+fi
+
+# 4. full 11x11 vox10 grids with the final weights (reference protocol,
+#    evaluate.py:76-77), one sequence per stage commit
+for SEQ in longdress loot soldier redandblack; do
+    [ "$(sod)" -lt "$((END_S - 4800))" ] || break
+    timeout 5400 python -u evaluate.py --experiments CVPR_inverse_scaling \
+        --q_steps 11 --sequences "$SEQ" --append --no_renders \
+        > "/tmp/r4_eval_$SEQ.log" 2>&1
+    git add -f results/CVPR_inverse_scaling/test.csv
+    git commit -m "Full 11x11 q-grid sweep: $SEQ (round-4 weights)" \
+        >> /tmp/r4_git.log 2>&1
+done
+
+# 5. the four Owlii vox11 stand-ins at a 3x3 grid (block-512 protocol;
+#    coarser than 11x11 to bound wall time — stated in PARITY.md)
+if [ "$(sod)" -lt "$((END_S - 3600))" ]; then
+    timeout 7200 python -u evaluate.py --experiments CVPR_inverse_scaling \
+        --q_steps 3 --sequences basketball_player dancer exercise model \
+        --append --no_renders > /tmp/r4_eval_vox11.log 2>&1
+    git add -f results/CVPR_inverse_scaling/test.csv
+    git commit -m "vox11 3x3 sweeps: all four Owlii stand-ins (block 512)" \
+        >> /tmp/r4_git.log 2>&1
+fi
+
+# 6. plots + BD deltas vs the native anchor (CPU only)
+timeout 1800 env JAX_PLATFORMS=cpu python -u plot.py \
+    --experiments CVPR_inverse_scaling CVPR_inverse_scaling_coded \
+    gpcc_native --anchor gpcc_native --anchor_points pareto \
+    > /tmp/r4_plot.log 2>&1
+git add -f results/plots
+git commit -m "Regenerated RD plots + BD deltas (round-4 sweeps, coded curve)" \
+    >> /tmp/r4_git.log 2>&1
+
+# 7. ablation re-validation at production quality (VERDICT item 7)
+if [ "$(sod)" -lt "$((END_S - 2400))" ]; then
+    timeout 3600 python -u scripts/abl_prod_eval.py \
+        > /tmp/r4_abl.log 2>&1
+    git add docs/ABLATION.md
+    git commit -m "Ablation re-validated with round-4 flagship weights" \
+        >> /tmp/r4_git.log 2>&1
+fi
+
+# 8. bench (also warms the XLA cache for the driver's round-end run)
+timeout 3600 python -u bench.py > /tmp/r4_bench.log 2>&1
+tail -3 /tmp/r4_bench.log
+
+touch /tmp/r4_chain_done
