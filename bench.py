@@ -29,6 +29,14 @@ def paused_trainer(pidfile="/tmp/upcc_train.pid",
     watchdog's frozen-CPU stall detector skips the pause instead of
     killing the trainer.  Always resumes on exit; if we die un-resumed,
     the watchdog clears markers older than 1 h and SIGCONTs.
+
+    Caveat (round-4 measurement): on the current image the axon tunnel
+    wedges a second client's heavy ops (compile/alloc) behind an
+    existing client even when that client is SIGSTOPped — a benchmark
+    started next to a live trainer can block at init indefinitely.
+    Prefer running with the trainer fully stopped
+    (scripts/r4_close_chain.sh does); the pause path remains as
+    best-effort protection for images where concurrency works.
     """
     pid = None
     try:

@@ -45,6 +45,14 @@ git add -f results/CVPR_inverse_scaling/weights_bf16.msgpack \
 git commit -m "Final flagship snapshot: round-4 weights + val trail" \
     > /tmp/r4_git.log 2>&1
 
+# 2b. vox11 decode-group profiling (VERDICT weak #4) — must run with the
+#     trainer DEAD: a second axon client's heavy ops wedge behind a live
+#     (even SIGSTOPped) one on this image.  Results inform DEC_GROUP_PTS.
+if [ "$(sod)" -lt "$((END_S - 10800))" ]; then
+    timeout 2700 python -u scripts/prof_vox11_groups.py \
+        > /tmp/r4_prof_vox11.log 2>&1
+fi
+
 # 3. lossless-geometry (coded occupancy) RD sweep — VERDICT missing #4.
 #    3x3 grid on loot+longdress: geometry is exact at every q_g, so the
 #    grid mostly exercises the q_a axis.
