@@ -52,9 +52,13 @@ ARMS = {
 }
 
 # held-out frame at vox10 scale (same generator family as the synth_128
-# test split, different seed from training frames)
-xyz, rgb = surface_cloud(np.random.default_rng(912), extent=1024,
-                         n_target=760_000)
+# test split, different seed from training frames); ABL_EXTENT/ABL_POINTS
+# shrink it for CPU smoke runs (which also skip the doc append)
+EXTENT = int(os.environ.get("ABL_EXTENT", 1024))
+N_PTS = int(os.environ.get("ABL_POINTS", 760_000))
+SMOKE = EXTENT != 1024
+xyz, rgb = surface_cloud(np.random.default_rng(912), extent=EXTENT,
+                         n_target=N_PTS)
 frame = np.concatenate([xyz.astype(np.float32), rgb], 1)
 Q_POINTS = [0.25, 0.75]
 
@@ -79,11 +83,12 @@ for arm, gs_over in ARMS.items():
     log(f"[{arm}] codec ready")
     for q in Q_POINTS:
         t0 = time.time()
-        blob = codec.compress(frame, q=(q, q), block_size=1024)
+        blob = codec.compress(frame, q=(q, q),
+                              block_size=min(EXTENT, 1024))
         t1 = time.time()
         rec = codec.decompress(blob)
         t2 = time.time()
-        m = pc_metrics(frame, rec, 1023.0, with_d2=False)
+        m = pc_metrics(frame, rec, float(EXTENT - 1), with_d2=False)
         rows.append({"arm": arm, "q": q, "bpp": len(blob) * 8 / len(frame),
                      "y": m["sym_y_psnr"], "d1": m["sym_psnr_mse"],
                      "enc": t1 - t0, "dec": t2 - t1})
@@ -96,8 +101,10 @@ lines = [
     f"Same arms, but every arm decodes with the CURRENT flagship snapshot "
     f"(epoch {meta['epoch']}, one shared parameter tree — the candidate "
     "semantics are a static g_s flag over identical params), on a held-out "
-    "vox10-scale frame (760k pts, block 1024).  First row of each arm "
-    "includes compile.", "",
+    "vox10-scale frame (760k pts, block 1024).  The encoder is "
+    "candidate-mode invariant (identical bitstreams/bpp across arms), so "
+    "this isolates the decode-side candidate semantics at matched bits.  "
+    "First row of each arm includes compile.", "",
     "| arm | q | bpp | Y-PSNR [dB] | D1-PSNR [dB] | enc [s] | dec [s] |",
     "|-----|---|-----|-------------|--------------|---------|---------|"]
 for r in rows:
@@ -120,6 +127,9 @@ if prod and reg:
               f"**{dy:+.2f} dB Y, {dd:+.2f} dB D1, {db:+.3f} bpp**, and "
               f"region decode is ~{dt:.1f}x slower — {verdict} (evaluated "
               f"{time.strftime('%Y-%m-%d')}; synthetic frame).", ""]
-with open("docs/ABLATION.md", "a") as f:
-    f.write("\n".join(lines) + "\n")
-log("appended docs/ABLATION.md")
+if SMOKE:
+    log("smoke run: skipping docs/ABLATION.md append")
+else:
+    with open("docs/ABLATION.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    log("appended docs/ABLATION.md")
