@@ -205,7 +205,7 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                 data_root="./data/raw", results_path="./results",
                 max_points=None, allow_synthetic=True, with_pcqm=True,
                 pcqm_max_points=200_000, with_renders=True, append=False,
-                pcqm_mode="native", geom="topk"):
+                pcqm_mode="native", geom="topk", color_affine=True):
     import upcc_tpu  # noqa: F401
     from upcc_tpu.codec.io import load_codec
     from upcc_tpu.eval.metrics import PreparedSource, pc_metrics
@@ -303,11 +303,21 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                     t1 = time.time()
                     rec = codec.decompress(data)
                     t2 = time.time()
+                    t_comp = t1 - t0
+                    if color_affine:
+                        # encoder-side signaled color refit (host-only given
+                        # the decode above; counted as encode time, and the
+                        # 48 signaled bytes are in len(data))
+                        data, rec = codec.refit_colors(
+                            data, pc, rec=rec,
+                            source_tree=(job_src[0].tree
+                                         if job_src[0] is not None else None))
+                        t_comp += time.time() - t2
                     row = {"sequence": seq, "frameIdx": spec["frame"],
                            "q_g": round(float(qg), 3),
                            "q_a": round(float(qa), 3),
                            "bpp": len(data) * 8 / len(pc),
-                           "t_compress": t1 - t0, "t_decompress": t2 - t1,
+                           "t_compress": t_comp, "t_decompress": t2 - t1,
                            "num_points": len(pc),
                            "synthetic": int(synthetic)}
                     corner = None
@@ -361,6 +371,10 @@ if __name__ == "__main__":
                     help="'coded' sweeps the lossless-geometry mode "
                          "(entropy-coded occupancy, codec/refine.py) and "
                          "writes results/<exp>_coded/test.csv")
+    ap.add_argument("--no_color_affine", action="store_true",
+                    help="disable the encoder-side signaled color refit "
+                         "(codec/color_affine.py); on by default for "
+                         "learned experiments")
     a = ap.parse_args()
     run_testset(a.experiments, a.q_steps, a.sequences,
                 with_metrics=not a.no_metrics, max_points=a.max_points,
@@ -368,4 +382,5 @@ if __name__ == "__main__":
                 allow_synthetic=not a.require_real_data,
                 with_pcqm=not a.no_pcqm, pcqm_max_points=a.pcqm_max_points,
                 with_renders=not a.no_renders, append=a.append,
-                pcqm_mode=a.pcqm, geom=a.geom)
+                pcqm_mode=a.pcqm, geom=a.geom,
+                color_affine=not a.no_color_affine)

@@ -89,7 +89,7 @@ if [ "$(sod)" -lt "$((END_S - 3600))" ]; then
 fi
 
 # 6. plots + BD deltas vs the native anchor (CPU only)
-timeout 1800 env JAX_PLATFORMS=cpu python -u plot.py \
+timeout 1800 env UPCC_PLATFORM=cpu python -u plot.py \
     --experiments CVPR_inverse_scaling CVPR_inverse_scaling_coded \
     gpcc_native --anchor gpcc_native --anchor_points pareto \
     > /tmp/r4_plot.log 2>&1

@@ -28,6 +28,20 @@ import jax
 # This must be enabled before any key math is traced.
 jax.config.update("jax_enable_x64", True)
 
+# Reliable platform selection: this image's sitecustomize registers the
+# axon TPU plugin in every python process and pins the platform, so the
+# JAX_PLATFORMS *env var* is silently ignored (measured round 4: a
+# process launched with JAX_PLATFORMS=cpu still lists [TPU v5 lite0]).
+# jax.config.update after import is the only override that sticks —
+# tests do it in conftest.py; CLI runs that must stay off the TPU
+# (smokes, plot refreshes beside a live trainer) set UPCC_PLATFORM=cpu.
+_plat = os.environ.get("UPCC_PLATFORM")
+if _plat:
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except RuntimeError:
+        pass  # backend already initialized by an earlier device call
+
 # Persistent compilation cache: the codec compiles one graph per capacity
 # bucket; cache them across processes.  The dir is keyed by a machine
 # signature: XLA:CPU AOT results bake in host ISA features, and loading a

@@ -28,9 +28,14 @@ MAGIC = b"UPCC"
 #       forward across the q run.  v4 coded streams (static sigmoid
 #       tables) would silently decode to wrong occupancy bits under the
 #       new tables, hence the loud version bump.
+#   5+  — flag bit 2 = per-frame affine color correction (codec/
+#       color_affine.py): 12 float32 (a [3, 4] YUV matrix) after the occ
+#       section of the flagged block.  Purely additive: streams without
+#       the flag keep the exact v5 layout, so no version bump.
 VERSION = 5
 FLAG_CODED_OCC = 1
 FLAG_OCC_TABLES = 2
+FLAG_COLOR_AFFINE = 4
 
 
 def write_container(path_or_none, blocks, scaling_factor=1.0):
@@ -46,8 +51,10 @@ def write_container(path_or_none, blocks, scaling_factor=1.0):
     for b in blocks:
         occ = b.get("occ_bytes")
         tab = b.get("occ_tables") if occ else None
+        aff = b.get("color_affine")
         flags = (FLAG_CODED_OCC if occ else 0) \
-            | (FLAG_OCC_TABLES if tab is not None else 0)
+            | (FLAG_OCC_TABLES if tab is not None else 0) \
+            | (FLAG_COLOR_AFFINE if aff is not None else 0)
         out += struct.pack(
             "<iiiBIIffB", *b["origin"], b["levels"], b["n_y"], b["n_z"],
             float(b["q"][0]), float(b["q"][1]), flags)
@@ -63,6 +70,11 @@ def write_container(path_or_none, blocks, scaling_factor=1.0):
                 assert tab.shape[0] == 3
                 out += struct.pack("<B", tab.shape[1])
                 out += tab.tobytes()
+        if aff is not None:
+            import numpy as _np
+            aff = _np.ascontiguousarray(aff, _np.float32)
+            assert aff.shape == (3, 4), aff.shape
+            out += aff.tobytes()
         out += b["coord_bytes"]
         out += b["y_bytes"]
         out += b["z_bytes"]
@@ -128,6 +140,16 @@ def read_container(path_or_bytes):
                 occ_tables = _np.frombuffer(
                     data[pos:end], _np.uint16).reshape(3, nb).copy()
                 pos = end
+        color_affine = None
+        if flags & FLAG_COLOR_AFFINE:
+            import numpy as _np
+            end = pos + 12 * 4
+            if end > len(data):
+                raise ValueError(
+                    "truncated bitstream: color affine incomplete")
+            color_affine = _np.frombuffer(
+                data[pos:end], _np.float32).reshape(3, 4).copy()
+            pos = end
         if pos + lc + ly + lz + sum(occ_lens or ()) > len(data):
             raise ValueError("truncated bitstream: payload exceeds container")
         coord_bytes = data[pos:pos + lc]; pos += lc
@@ -143,5 +165,6 @@ def read_container(path_or_bytes):
                        "n_z": n_z, "q": (qg, qa), "k": list(k),
                        "coord_bytes": coord_bytes, "y_bytes": y_bytes,
                        "z_bytes": z_bytes, "occ_bytes": occ_bytes,
-                       "occ_tables": occ_tables})
+                       "occ_tables": occ_tables,
+                       "color_affine": color_affine})
     return blocks, scaling_factor

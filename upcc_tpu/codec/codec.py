@@ -35,7 +35,7 @@ from ..models.unified import UnifiedModel
 from ..ops import coords as C
 from ..ops import family as F
 from ..ops.sparse import SparseTensor
-from . import bitstream, refine
+from . import bitstream, color_affine, refine
 
 MAX_GROUP = 63  # batch bits hold 6 bits; batch index 63 is reserved
 
@@ -750,7 +750,37 @@ class Codec:
         x = np.concatenate(outs, axis=0)
         if scaling_factor != 1.0:
             x[:, :3] = x[:, :3] * scaling_factor
+        # frame-level signaled color correction (encoder refit,
+        # codec/color_affine.py) — rides the container's first block
+        aff = blocks[0].get("color_affine") if blocks else None
+        if aff is not None and len(x):
+            x[:, 3:6] = color_affine.apply(x[:, 3:6], aff)
         return x
+
+    def refit_colors(self, data, source_pc, rec=None, source_tree=None):
+        """Encoder-side color refit: fit the frame's affine correction
+        against the source and return ``(new_container_bytes, corrected
+        reconstruction)``.  ``rec`` skips the decode when the caller has
+        already decoded ``data`` (the eval driver has); the returned
+        reconstruction equals ``decompress(new_container_bytes)``.
+
+        The signaled 48 bytes are counted in the new container's length;
+        geometry and all entropy-coded payloads are byte-identical.  See
+        codec/color_affine.py for the design rationale."""
+        if rec is None:
+            rec = self.decompress(data)
+        src = np.asarray(source_pc)
+        W, _gain = color_affine.fit(rec, src, source_tree=source_tree)
+        if W is None:
+            return data if isinstance(data, bytes) \
+                else bytes(data), np.asarray(rec)
+        blocks, scaling_factor = bitstream.read_container(data)
+        assert blocks[0].get("color_affine") is None, \
+            "container already carries a color affine"
+        blocks[0]["color_affine"] = W
+        out = np.asarray(rec).copy()
+        out[:, 3:6] = color_affine.apply(out[:, 3:6], W)
+        return bitstream.write_container(None, blocks, scaling_factor), out
 
     def _decompress_group(self, blks, device=None):
         """Decode up to MAX_GROUP blocks in one batched device pass."""
