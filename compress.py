@@ -51,6 +51,12 @@ def main(argv=None):
                     help="'coded' = lossless geometry: every candidate "
                          "voxel's occupancy bit is entropy-coded with the "
                          "learned logit as context (codec/refine.py)")
+    ap.add_argument("--color_affine", action="store_true",
+                    help="encoder-side signaled color refit: decode the "
+                         "stream, fit a [3,4] YUV affine against the input "
+                         "and attach it (48 B) to the container "
+                         "(codec/color_affine.py); slower encode, better "
+                         "color fidelity")
     ap.add_argument("--ladder", type=float, nargs="+", default=None,
                     metavar="Q",
                     help="multi-rate simulcast encode: flat q_g q_a pairs "
@@ -64,6 +70,9 @@ def main(argv=None):
             ap.error("--ladder only applies to encode")
         if len(a.ladder) % 2:
             ap.error("--ladder takes q_g q_a PAIRS (even count of floats)")
+        if a.color_affine:
+            ap.error("--color_affine with --ladder is not supported yet "
+                     "(each rung would need its own decode+fit)")
 
     many = len(a.inputs) > 1
     if many:
@@ -109,6 +118,8 @@ def main(argv=None):
                                       scaling_factor=a.scaling_factor,
                                       geom=a.geom)
         for inp, blob in zip(a.inputs, blobs):
+            if a.color_affine:
+                blob, _rec = codec.refit_colors(blob, _load_cloud(inp))
             dst = out_path(inp, ".upcc")
             with open(dst, "wb") as f:
                 f.write(blob)

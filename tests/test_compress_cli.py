@@ -105,3 +105,36 @@ def test_cli_ladder_simulcast(exp_dir, tmp_path):
     with pytest.raises(SystemExit):  # decode mode
         compress.main(["decode", out, str(tmp_path / "x.ply"),
                        "--experiment", exp_dir, "--ladder", "0.5", "0.5"])
+
+
+def test_cli_color_affine(exp_dir, tmp_path):
+    """--color_affine attaches the 48-byte refit; the decoded PLY matches
+    the refit stream (and --ladder combination is rejected)."""
+    from upcc_tpu.data.ply import read_ply, write_ply
+    from upcc_tpu.data.synthetic import surface_cloud
+
+    import compress
+
+    rng = np.random.default_rng(11)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=1200)
+    src = str(tmp_path / "in.ply")
+    write_ply(src, xyz, rgb)
+
+    plain = str(tmp_path / "plain.upcc")
+    fitted = str(tmp_path / "fit.upcc")
+    compress.main(["encode", src, plain, "--experiment", exp_dir,
+                   "--q", "0.5", "0.5", "--block_size", "64"])
+    compress.main(["encode", src, fitted, "--experiment", exp_dir,
+                   "--q", "0.5", "0.5", "--block_size", "64",
+                   "--color_affine"])
+    dp, df = os.path.getsize(plain), os.path.getsize(fitted)
+    assert df in (dp, dp + 48)  # identity fit signals nothing
+
+    rec = str(tmp_path / "rec.ply")
+    compress.main(["decode", fitted, rec, "--experiment", exp_dir])
+    rx, rc = read_ply(rec)
+    assert len(rx) > 0 and rc is not None
+
+    with pytest.raises(SystemExit):
+        compress.main(["encode", src, fitted, "--experiment", exp_dir,
+                       "--ladder", "0.5", "0.5", "--color_affine"])
