@@ -506,15 +506,25 @@ class Codec:
         yield from self._stream(containers, self.decompress, depth)
 
     def _map_groups(self, fn, items):
-        """Sequential on one device; round-robin thread-pool over
-        self.devices otherwise (parallel/block_parallel.py).  debug and
-        profile recording require deterministic stage order, so they force
-        the sequential path."""
+        """Round-robin thread-pool over self.devices when there are
+        several (parallel/block_parallel.py); on one device, two worker
+        threads overlap one group's host entropy coding with another's
+        device passes (device calls serialize in the backend queue, the
+        host halves genuinely overlap — measured on the 2-group vox11
+        decode, scripts/prof_vox11_groups.py).  Results keep input order,
+        so containers stay byte-identical to the sequential path.  debug
+        and profile recording require deterministic stage order, so they
+        force the sequential path."""
         if self.devices and len(self.devices) > 1 and len(items) > 1 \
                 and not (self.debug or self.profile):
             from ..parallel.block_parallel import parallel_map_blocks
             return parallel_map_blocks(fn, items, devices=self.devices)
         dev = self.devices[0] if self.devices else None
+        if len(items) > 1 and not (self.debug or self.profile):
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                futs = [ex.submit(fn, item, dev) for item in items]
+                return [f.result() for f in futs]
         return [fn(item, dev) for item in items]
 
     def _compress_group(self, group, origins, qv, levels, device=None,
