@@ -48,3 +48,32 @@ def test_oversize_single_block_decodes_alone():
 
 def test_empty():
     assert _chunk_decode_groups([]) == []
+
+
+def test_encode_groups_point_capped(monkeypatch):
+    """Encode groups split on summed points as well as block count
+    (regression: the all-64-block Owlii stand-ins built one 63-block
+    ~1.2M-pt analysis graph -> ~20 GB compile OOM on a 15.75 GB v5e)."""
+    import numpy as np
+    from upcc_tpu.codec import codec as cm
+    from upcc_tpu.codec.codec import Codec
+
+    rng = np.random.default_rng(0)
+    # 8 well-separated blocks of 500 points each at block_size 64
+    pts = []
+    for i in range(8):
+        xyz = rng.integers(0, 64, (500, 3)) + np.array([i * 128, 0, 0])
+        pts.append(np.concatenate([xyz, rng.random((500, 3))], 1))
+    pc = np.concatenate(pts).astype(np.float32)
+
+    monkeypatch.setattr(cm, "ENC_GROUP_PTS", 1000)
+    groups, _levels = Codec._partition_blocks(
+        object.__new__(Codec), pc, 64, 1.0)
+    sizes = [sum(len(x) for x, _ in g) for g, _o in groups]
+    assert all(s <= 1000 for s in sizes)
+    # completeness: every point lands in exactly one group
+    assert sum(sizes) >= len(np.unique(pc[:, :3].astype(np.int64), axis=0))
+
+    monkeypatch.setattr(cm, "ENC_GROUP_PTS", 10 ** 9)
+    groups2, _ = Codec._partition_blocks(object.__new__(Codec), pc, 64, 1.0)
+    assert len(groups2) < len(groups)

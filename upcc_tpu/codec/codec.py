@@ -70,6 +70,10 @@ def _bucket(n, lo=512):
 # A ~760k-pt group (the vox10 single-block path) compiles at a comfortable
 # margin, so cap groups there; oversize single blocks still decode alone.
 DEC_GROUP_PTS = 800_000
+# encode groups get the same point cap (the batched analysis graph at 63
+# blocks x ~1.2M pts needs ~20 GB; measured OOM on the all-64-block Owlii
+# stand-ins).  Oversize single blocks still encode alone.
+ENC_GROUP_PTS = 800_000
 
 
 def _chunk_decode_groups(blocks):
@@ -449,15 +453,23 @@ class Codec:
 
         levels = max(1, int(math.ceil(math.log2(max(block_size // 8, 2)))))
         groups = []
-        group, group_origins = [], []
+        group, group_origins, gpts = [], [], 0
         for s, e in zip(bounds[:-1], bounds[1:]):
             bxyz = xyz[s:e]
+            # encode groups are point-capped like decode groups: a 63-block
+            # vox11 group (~1.2M pts at block 512) compiles to a ~20 GB
+            # analysis graph — past one v5e's 15.75 GB HBM (measured: the
+            # Owlii stand-ins occupy all 64 blocks and OOM'd at compile,
+            # /tmp/r4_eval_basketball_player.log; per-block streams are
+            # group-independent, so containers stay byte-identical)
+            if group and (len(group) == MAX_GROUP
+                          or gpts + (e - s) > ENC_GROUP_PTS):
+                groups.append((group, group_origins))
+                group, group_origins, gpts = [], [], 0
             origin = mins + ((bxyz[0] - mins) // block_size) * block_size
             group.append((bxyz - origin, rgb[s:e]))
             group_origins.append(tuple(int(v) for v in origin))
-            if len(group) == MAX_GROUP:
-                groups.append((group, group_origins))
-                group, group_origins = [], []
+            gpts += e - s
         if group:
             groups.append((group, group_origins))
         return groups, levels
