@@ -74,6 +74,16 @@ DEC_GROUP_PTS = 800_000
 # blocks x ~1.2M pts needs ~20 GB; measured OOM on the all-64-block Owlii
 # stand-ins).  Oversize single blocks still encode alone.
 ENC_GROUP_PTS = 800_000
+# the reconstruct graph's dominant buffer scales with the LEVEL-1
+# capacity bucket, not just the output count.  Measured boundary on one
+# v5e: bucket(sum k1) = 2^19 compiles (vox10 single group: k1 377k;
+# the profiling frame's 15-block groups: k1 ~436k) while 2^20 OOMs at
+# compile with a 16 GB padded candidate buffer + 4 GB copy (the Owlii
+# stand-ins' noisy geometry carries k1/k2 ~0.78 vs a clean surface's
+# ~0.5, so their 800k-output groups blew the level-1 bucket while
+# holding the output cap — /tmp/r4c_eval_basketball_player.log).  Cap
+# the summed level-1 k at the 2^19 bucket boundary.
+DEC_GROUP_L1 = 524_288
 
 
 def _chunk_decode_groups(blocks):
@@ -81,19 +91,24 @@ def _chunk_decode_groups(blocks):
 
     Groups only runs of equal q (a group shares one q vector through the
     batched gain nets; mixing q would desync the rANS indexes), at most
-    MAX_GROUP blocks, and at most DEC_GROUP_PTS summed output points."""
+    MAX_GROUP blocks, at most DEC_GROUP_PTS summed output points, and at
+    most DEC_GROUP_L1 summed level-1 points (both HBM ceilings on the
+    reconstruct graph)."""
     items = []
-    cur, pts = [], 0
+    cur, pts, l1 = [], 0, 0
     for b in blocks:
         bp = int(b["k"][-1])
+        b1 = int(b["k"][1])
         if cur and (cur[-1]["q"] != b["q"] or len(cur) == MAX_GROUP
                     or pts + bp > DEC_GROUP_PTS
+                    or l1 + b1 > DEC_GROUP_L1
                     or (cur[-1].get("occ_bytes") is None)
                     != (b.get("occ_bytes") is None)):
             items.append(cur)
-            cur, pts = [], 0
+            cur, pts, l1 = [], 0, 0
         cur.append(b)
         pts += bp
+        l1 += b1
     if cur:
         items.append(cur)
     return items
