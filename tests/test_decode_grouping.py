@@ -83,16 +83,17 @@ def test_splits_on_level1_budget():
     """Noisy-geometry frames (k1/k2 up to ~0.8) can blow the level-1
     capacity bucket while respecting the output cap; groups must split
     at DEC_GROUP_L1 (regression: Owlii stand-in decode compile OOM)."""
-    from upcc_tpu.codec.codec import DEC_GROUP_L1
+    from upcc_tpu.codec.codec import DEC_GROUP_L0, DEC_GROUP_L1
 
-    def noisy(k_out):  # k1 = 0.8 * k2, like the Owlii scan stand-ins
+    def noisy(k_out):  # k0/k1 ratios like the Owlii scan stand-ins
         return {"q": (0.5, 0.5),
-                "k": [k_out // 2, int(k_out * 0.8), k_out]}
+                "k": [int(k_out * 0.41), int(k_out * 0.8), k_out]}
 
-    blocks = [noisy(100_000) for _ in range(8)]  # sum k1 = 640k > cap
+    blocks = [noisy(100_000) for _ in range(8)]  # sum k0/k1 over caps
     groups = _chunk_decode_groups(blocks)
     assert len(groups) >= 2
     for g in groups:
+        assert sum(b["k"][0] for b in g) <= DEC_GROUP_L0
         assert sum(b["k"][1] for b in g) <= DEC_GROUP_L1
         assert sum(b["k"][-1] for b in g) <= DEC_GROUP_PTS
     assert [b for g in groups for b in g] == blocks

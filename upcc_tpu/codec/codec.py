@@ -74,15 +74,17 @@ DEC_GROUP_PTS = 800_000
 # blocks x ~1.2M pts needs ~20 GB; measured OOM on the all-64-block Owlii
 # stand-ins).  Oversize single blocks still encode alone.
 ENC_GROUP_PTS = 800_000
-# the reconstruct graph's dominant buffer scales with the LEVEL-1
-# capacity bucket, not just the output count.  Measured boundary on one
-# v5e: bucket(sum k1) = 2^19 compiles (vox10 single group: k1 377k;
-# the profiling frame's 15-block groups: k1 ~436k) while 2^20 OOMs at
-# compile with a 16 GB padded candidate buffer + 4 GB copy (the Owlii
-# stand-ins' noisy geometry carries k1/k2 ~0.78 vs a clean surface's
-# ~0.5, so their 800k-output groups blew the level-1 bucket while
-# holding the output cap — /tmp/r4c_eval_basketball_player.log).  Cap
-# the summed level-1 k at the 2^19 bucket boundary.
+# the reconstruct graph's dominant buffer is the finest grand-layout
+# stage's output, [bucket(sum k0), 64, N1/4] f32 — the 32-lane channel
+# dim tiles to (8,128), a 4x padding blowup (family.py grand_apply).
+# Measured boundary on one v5e: bucket(sum k0) = 2^17 (vox10 single
+# group, k0 117k -> 4.3 GB) and 2^18 (the profiling frame's 15-block
+# groups, k0 ~197k -> 8.6 GB) compile; 2^19 (the Owlii stand-ins'
+# noisy geometry, k0/k2 ~0.41 -> ~330k per 800k-output group) OOMs at
+# compile with a 16 GB buffer + 4 GB copy.  Cap the summed level-0 k at
+# the 2^18 bucket boundary; keep a level-1 cap at its own known-good
+# 2^19 boundary as a second guard (vox10 k1 377k stays single-group).
+DEC_GROUP_L0 = 262_144
 DEC_GROUP_L1 = 524_288
 
 
@@ -95,20 +97,23 @@ def _chunk_decode_groups(blocks):
     most DEC_GROUP_L1 summed level-1 points (both HBM ceilings on the
     reconstruct graph)."""
     items = []
-    cur, pts, l1 = [], 0, 0
+    cur, pts, l1, l0 = [], 0, 0, 0
     for b in blocks:
         bp = int(b["k"][-1])
         b1 = int(b["k"][1])
+        b0 = int(b["k"][0])
         if cur and (cur[-1]["q"] != b["q"] or len(cur) == MAX_GROUP
                     or pts + bp > DEC_GROUP_PTS
                     or l1 + b1 > DEC_GROUP_L1
+                    or l0 + b0 > DEC_GROUP_L0
                     or (cur[-1].get("occ_bytes") is None)
                     != (b.get("occ_bytes") is None)):
             items.append(cur)
-            cur, pts, l1 = [], 0, 0
+            cur, pts, l1, l0 = [], 0, 0, 0
         cur.append(b)
         pts += bp
         l1 += b1
+        l0 += b0
     if cur:
         items.append(cur)
     return items
