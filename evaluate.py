@@ -205,7 +205,8 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                 data_root="./data/raw", results_path="./results",
                 max_points=None, allow_synthetic=True, with_pcqm=True,
                 pcqm_max_points=200_000, with_renders=True, append=False,
-                pcqm_mode="native", geom="topk", color_affine=True):
+                pcqm_mode="native", geom="topk", color_affine=True,
+                color_resid=True):
     import upcc_tpu  # noqa: F401
     from upcc_tpu.codec.io import load_codec
     from upcc_tpu.eval.metrics import PreparedSource, pc_metrics
@@ -223,6 +224,17 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
         # config + weights restore shared with compress.py (codec/io.py;
         # reference evaluate.py:79-89)
         codec, _cfg = load_codec(exp_dir)
+        # Lagrangian weight for the residual enhancement layer: the
+        # experiment's own lambda_A(q_a) schedule (data/q_func.py), so the
+        # layer engages exactly where the base layer's RD slope has flattened
+        qmap = (_cfg or {}).get("q_map", {})
+        la_min = float(qmap.get("lambda_A_min", 0.0))
+        la_max = float(qmap.get("lambda_A_max", 12800.0))
+
+        def _lambda_a(qa):
+            if qmap.get("mode") == "exponential":
+                return 2.0 ** (qa * np.log2(la_max + la_min)) + la_min - 1.0
+            return qa * qa * (la_max - la_min) + la_min
         if geom == "coded":
             # the lossless-geometry sweep is its own RD curve: write it as
             # a sibling experiment so plot.py/BD treat it as one
@@ -304,15 +316,21 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                     rec = codec.decompress(data)
                     t2 = time.time()
                     t_comp = t1 - t0
-                    if color_affine:
-                        # encoder-side signaled color refit (host-only given
-                        # the decode above; counted as encode time, and the
-                        # 48 signaled bytes are in len(data))
+                    if color_affine or color_resid:
+                        # encoder-side signaled color refit (affine +
+                        # residual enhancement layer; all signaled bytes are
+                        # in len(data)).  The refit consumes a self-decode:
+                        # count the decode wall (t2-t1) into encode time too
+                        # so t_compress stays comparable with
+                        # --no_color_affine runs (ADVICE r4).
                         data, rec = codec.refit_colors(
                             data, pc, rec=rec,
                             source_tree=(job_src[0].tree
-                                         if job_src[0] is not None else None))
-                        t_comp += time.time() - t2
+                                         if job_src[0] is not None else None),
+                            resid_lam=(_lambda_a(float(qa))
+                                       if color_resid else 0.0),
+                            fit_affine=color_affine)
+                        t_comp += (time.time() - t2) + (t2 - t1)
                     row = {"sequence": seq, "frameIdx": spec["frame"],
                            "q_g": round(float(qg), 3),
                            "q_a": round(float(qa), 3),
@@ -375,6 +393,10 @@ if __name__ == "__main__":
                     help="disable the encoder-side signaled color refit "
                          "(codec/color_affine.py); on by default for "
                          "learned experiments")
+    ap.add_argument("--no_color_resid", action="store_true",
+                    help="disable the signaled residual color enhancement "
+                         "layer (codec/color_resid.py); on by default for "
+                         "learned experiments")
     a = ap.parse_args()
     run_testset(a.experiments, a.q_steps, a.sequences,
                 with_metrics=not a.no_metrics, max_points=a.max_points,
@@ -383,4 +405,5 @@ if __name__ == "__main__":
                 with_pcqm=not a.no_pcqm, pcqm_max_points=a.pcqm_max_points,
                 with_renders=not a.no_renders, append=a.append,
                 pcqm_mode=a.pcqm, geom=a.geom,
-                color_affine=not a.no_color_affine)
+                color_affine=not a.no_color_affine,
+                color_resid=not a.no_color_resid)

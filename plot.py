@@ -274,14 +274,25 @@ def compute_bd_deltas(frames, anchor, out_dir, anchor_points="style"):
                 if len(ca) < 2 or len(cb) < 2 \
                         or ca[mkey].isna().any() or cb[mkey].isna().any():
                     continue
+                ov_r = rate_overlap(ca.bpp, cb.bpp)
+                ov_q = quality_overlap(ca[mkey], cb[mkey])
+                # a delta is only meaningful when BOTH integration domains
+                # genuinely overlap; otherwise the PCHIP extrapolation
+                # produces numbers that look like results but aren't
+                # (r4 weak #7: −6..−8 dB "BD-PSNR" rows at
+                # overlap_quality=0).  Mark them instead of mixing them in.
+                comparable = ov_r >= BD_MIN_OVERLAP and ov_q > 0.0
                 rows.append({
                     "experiment": exp, "sequence": seq, "metric": mkey,
                     "bd_rate_%": bd_rate(ca.bpp, ca[mkey], cb.bpp, cb[mkey],
-                                         min_overlap=BD_MIN_OVERLAP),
+                                         min_overlap=BD_MIN_OVERLAP)
+                    if comparable else float("nan"),
                     "bd_psnr_dB": bd_psnr(ca.bpp, ca[mkey], cb.bpp, cb[mkey],
-                                          min_overlap=BD_MIN_OVERLAP),
-                    "overlap_rate": rate_overlap(ca.bpp, cb.bpp),
-                    "overlap_quality": quality_overlap(ca[mkey], cb[mkey]),
+                                          min_overlap=BD_MIN_OVERLAP)
+                    if comparable else float("nan"),
+                    "overlap_rate": ov_r,
+                    "overlap_quality": ov_q,
+                    "status": "ok" if comparable else "no_overlap",
                     "anchor_points": anchor_points,
                 })
     out = pd.DataFrame(rows)

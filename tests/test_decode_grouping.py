@@ -100,3 +100,57 @@ def test_splits_on_level1_budget():
     # the vox10 single-group shape (k1 ~378k) must NOT split
     vox10 = [{"q": (0.5, 0.5), "k": [117_205, 377_562, 760_000]}]
     assert len(_chunk_decode_groups(vox10)) == 1
+
+
+def test_threaded_group_map_byte_identity(monkeypatch):
+    """The single-device two-thread _map_groups path (host entropy coding
+    overlapped across groups) must produce byte-identical containers and
+    reconstructions to the sequential debug path — exercised, not asserted
+    in a comment (ADVICE r4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import upcc_tpu.codec.codec as cm
+    from upcc_tpu.codec import Codec
+    from upcc_tpu.data.synthetic import surface_cloud
+    from upcc_tpu.models.unified import UnifiedModel
+    from upcc_tpu.ops.sparse import from_points
+
+    cfg = {"max_batch": 8,
+           "g_a": {"C_in": 4, "N1": 16, "N2": 16, "N3": 16, "N4": 16},
+           "g_s": {"C_out": 3, "N1": 16, "N2": 16, "N3": 16, "N4": 16},
+           "entropy_model": {"C_bottleneck": 16, "C_hyper_bottleneck": 24,
+                             "quantization_mode": "ste",
+                             "inverse_rescaling": True,
+                             "quantization_offset": True}}
+    model = UnifiedModel(cfg)
+    rng = np.random.default_rng(0)
+    xyz, rgb = surface_cloud(rng, extent=32, n_target=500)
+    st = from_points(jnp.zeros(len(xyz), jnp.int32), jnp.asarray(xyz),
+                     jnp.asarray(rgb), capacity=1024)
+    q = jnp.full((1, 2), 0.5, jnp.float32)
+    lam = jnp.ones((1, 2), jnp.float32)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0),
+                                  "noise": jax.random.PRNGKey(1)},
+                                 st, q, lam)["params"]
+    codec = Codec(model, params)
+    codec.update()
+
+    # tiny group budgets force several encode AND decode groups on a
+    # multi-block frame, so the threaded path actually runs multi-group
+    monkeypatch.setattr(cm, "ENC_GROUP_PTS", 600)
+    monkeypatch.setattr(cm, "DEC_GROUP_PTS", 600)
+    xyz2, rgb2 = surface_cloud(np.random.default_rng(3), extent=96,
+                               n_target=2500)
+    pc = np.concatenate([xyz2.astype(np.float32), rgb2], axis=1)
+
+    data_thr = codec.compress(pc, q=(0.5, 0.5), block_size=32)
+    rec_thr = codec.decompress(data_thr)
+
+    codec.debug = True  # forces the sequential path in _map_groups
+    data_seq = codec.compress(pc, q=(0.5, 0.5), block_size=32)
+    rec_seq = codec.decompress(data_seq)
+
+    assert data_thr == data_seq
+    np.testing.assert_array_equal(rec_thr, rec_seq)

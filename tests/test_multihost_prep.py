@@ -21,8 +21,11 @@ class _Dev:
 
 
 class _FakeMesh:
-    def __init__(self, procs_per_row):
+    def __init__(self, procs_per_row, shape=None, axis_names=("data",)):
         self.devices = np.array([_Dev(p) for p in procs_per_row], object)
+        if shape is not None:
+            self.devices = self.devices.reshape(shape)
+        self.axis_names = axis_names
 
 
 def test_local_dp_rows_single_host():
@@ -99,3 +102,26 @@ def test_dp_group_arrays_slices_q_lam_rng_consistently(monkeypatch):
     np.testing.assert_array_equal(np.asarray(l_q), np.asarray(g_q)[2:4])
     np.testing.assert_array_equal(np.asarray(l_lam), np.asarray(g_lam)[2:4])
     np.testing.assert_array_equal(np.asarray(l_rng), np.asarray(g_rng)[2:4])
+
+
+def test_local_dp_rows_multi_axis_mesh(monkeypatch):
+    """On a 2-D (data x model) mesh the data-axis row ranges must index the
+    named axis, not a flatten of the whole device grid (ADVICE r4): with
+    model-minor ordering, flattening would interleave model peers into the
+    row ranges and shard the wrong batch rows per host."""
+    # 4 data rows x 2 model cols; each host owns 2 full data rows
+    mesh = _FakeMesh([0, 0, 0, 0, 1, 1, 1, 1], shape=(4, 2),
+                     axis_names=("data", "model"))
+    for pid, want in [(0, (0, 2)), (1, (2, 4))]:
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        assert dp.local_dp_rows(mesh) == want
+    # data rows whose model peers straddle hosts belong to no single
+    # process: reject rather than shard wrong rows
+    straddle = _FakeMesh([0, 1, 0, 1, 1, 0, 1, 0], shape=(4, 2),
+                         axis_names=("data", "model"))
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    with pytest.raises(ValueError):
+        dp.local_dp_rows(straddle)
+    # unknown axis name is a loud error
+    with pytest.raises(ValueError):
+        dp.local_dp_rows(mesh, axis="tensor")

@@ -30,12 +30,22 @@ MAGIC = b"UPCC"
 #       new tables, hence the loud version bump.
 #   5+  — flag bit 2 = per-frame affine color correction (codec/
 #       color_affine.py): 12 float32 (a [3, 4] YUV matrix) after the occ
-#       section of the flagged block.  Purely additive: streams without
-#       the flag keep the exact v5 layout, so no version bump.
-VERSION = 5
+#       section of the flagged block.
+#   6 — flag bit 3 = residual color enhancement layer (codec/
+#       color_resid.py): uint32 length + opaque payload after the affine
+#       section of the flagged block.  Also from v6 on, read_container
+#       REJECTS unknown flag bits: the v5 reader would have treated a
+#       later build's flagged side-info as the start of coord_bytes and
+#       decoded garbage — exactly the silent corruption the v4->v5 bump
+#       existed to prevent.  Any future flag addition therefore needs a
+#       new bit here (old builds then fail loudly) but no version bump.
+VERSION = 6
 FLAG_CODED_OCC = 1
 FLAG_OCC_TABLES = 2
 FLAG_COLOR_AFFINE = 4
+FLAG_COLOR_RESID = 8
+KNOWN_FLAGS = (FLAG_CODED_OCC | FLAG_OCC_TABLES | FLAG_COLOR_AFFINE
+               | FLAG_COLOR_RESID)
 
 
 def write_container(path_or_none, blocks, scaling_factor=1.0):
@@ -52,9 +62,11 @@ def write_container(path_or_none, blocks, scaling_factor=1.0):
         occ = b.get("occ_bytes")
         tab = b.get("occ_tables") if occ else None
         aff = b.get("color_affine")
+        resid = b.get("color_resid")
         flags = (FLAG_CODED_OCC if occ else 0) \
             | (FLAG_OCC_TABLES if tab is not None else 0) \
-            | (FLAG_COLOR_AFFINE if aff is not None else 0)
+            | (FLAG_COLOR_AFFINE if aff is not None else 0) \
+            | (FLAG_COLOR_RESID if resid is not None else 0)
         out += struct.pack(
             "<iiiBIIffB", *b["origin"], b["levels"], b["n_y"], b["n_z"],
             float(b["q"][0]), float(b["q"][1]), flags)
@@ -75,6 +87,9 @@ def write_container(path_or_none, blocks, scaling_factor=1.0):
             aff = _np.ascontiguousarray(aff, _np.float32)
             assert aff.shape == (3, 4), aff.shape
             out += aff.tobytes()
+        if resid is not None:
+            out += struct.pack("<I", len(resid))
+            out += bytes(resid)
         out += b["coord_bytes"]
         out += b["y_bytes"]
         out += b["z_bytes"]
@@ -116,6 +131,11 @@ def read_container(path_or_bytes):
         ox, oy, oz, levels, n_y, n_z, qg, qa, flags = struct.unpack_from(
             "<iiiBIIffB", data, pos)
         pos += struct.calcsize("<iiiBIIffB")
+        if flags & ~KNOWN_FLAGS:
+            raise ValueError(
+                f"unknown container flag bits 0x{flags & ~KNOWN_FLAGS:02x}: "
+                "this stream carries side information a newer build wrote; "
+                "decoding it here would misparse the payload")
         lc, ly, lz = struct.unpack_from("<III", data, pos)
         pos += struct.calcsize("<III")
         k = struct.unpack_from("<iii", data, pos)
@@ -150,6 +170,18 @@ def read_container(path_or_bytes):
             color_affine = _np.frombuffer(
                 data[pos:end], _np.float32).reshape(3, 4).copy()
             pos = end
+        color_resid = None
+        if flags & FLAG_COLOR_RESID:
+            if pos + 4 > len(data):
+                raise ValueError(
+                    "truncated bitstream: color residual header incomplete")
+            (lr,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            if pos + lr > len(data):
+                raise ValueError(
+                    "truncated bitstream: color residual incomplete")
+            color_resid = data[pos:pos + lr]
+            pos += lr
         if pos + lc + ly + lz + sum(occ_lens or ()) > len(data):
             raise ValueError("truncated bitstream: payload exceeds container")
         coord_bytes = data[pos:pos + lc]; pos += lc
@@ -166,5 +198,6 @@ def read_container(path_or_bytes):
                        "coord_bytes": coord_bytes, "y_bytes": y_bytes,
                        "z_bytes": z_bytes, "occ_bytes": occ_bytes,
                        "occ_tables": occ_tables,
-                       "color_affine": color_affine})
+                       "color_affine": color_affine,
+                       "color_resid": color_resid})
     return blocks, scaling_factor

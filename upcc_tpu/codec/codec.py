@@ -35,7 +35,7 @@ from ..models.unified import UnifiedModel
 from ..ops import coords as C
 from ..ops import family as F
 from ..ops.sparse import SparseTensor
-from . import bitstream, color_affine, refine
+from . import bitstream, color_affine, color_resid, refine
 
 MAX_GROUP = 63  # batch bits hold 6 bits; batch index 63 is reserved
 
@@ -792,36 +792,60 @@ class Codec:
         x = np.concatenate(outs, axis=0)
         if scaling_factor != 1.0:
             x[:, :3] = x[:, :3] * scaling_factor
-        # frame-level signaled color correction (encoder refit,
-        # codec/color_affine.py) — rides the container's first block
+        # frame-level signaled color corrections (encoder refit) — ride the
+        # container's first block: affine (codec/color_affine.py) then the
+        # residual enhancement layer (codec/color_resid.py), in the same
+        # order the encoder fitted them
         aff = blocks[0].get("color_affine") if blocks else None
         if aff is not None and len(x):
             x[:, 3:6] = color_affine.apply(x[:, 3:6], aff)
+        resid = blocks[0].get("color_resid") if blocks else None
+        if resid is not None and len(x):
+            x[:, 3:6] = color_resid.apply(x, resid)
         return x
 
-    def refit_colors(self, data, source_pc, rec=None, source_tree=None):
-        """Encoder-side color refit: fit the frame's affine correction
+    def refit_colors(self, data, source_pc, rec=None, source_tree=None,
+                     resid_lam=0.0, fit_affine=True):
+        """Encoder-side color refit: fit the frame's signaled corrections
         against the source and return ``(new_container_bytes, corrected
         reconstruction)``.  ``rec`` skips the decode when the caller has
         already decoded ``data`` (the eval driver has); the returned
         reconstruction equals ``decompress(new_container_bytes)``.
 
-        The signaled 48 bytes are counted in the new container's length;
-        geometry and all entropy-coded payloads are byte-identical.  See
-        codec/color_affine.py for the design rationale."""
+        Two layers, both optional and both counted in the new container's
+        length: the 48-byte affine (codec/color_affine.py), and — when
+        ``resid_lam`` > 0 — the RAHT-coded residual enhancement layer
+        (codec/color_resid.py) fitted on the affine-corrected colors with
+        Lagrangian weight ``resid_lam`` (lambda_A(q_a) in training-loss
+        units).  Geometry and all entropy-coded payloads stay
+        byte-identical."""
         if rec is None:
             rec = self.decompress(data)
         src = np.asarray(source_pc)
-        W, _gain = color_affine.fit(rec, src, source_tree=source_tree)
-        if W is None:
+        W = None
+        if fit_affine:
+            W, _gain = color_affine.fit(rec, src, source_tree=source_tree)
+        out = np.asarray(rec)
+        payload = None
+        if W is not None:
+            out = out.copy()
+            out[:, 3:6] = color_affine.apply(out[:, 3:6], W)
+        if resid_lam > 0.0:
+            payload, corr, _info = color_resid.fit(
+                out, src, resid_lam, source_tree=source_tree)
+            if payload is not None:
+                out = out.copy() if out is rec else out
+                out[:, 3:6] = corr
+        if W is None and payload is None:
             return data if isinstance(data, bytes) \
-                else bytes(data), np.asarray(rec)
+                else bytes(data), out
         blocks, scaling_factor = bitstream.read_container(data)
         assert blocks[0].get("color_affine") is None, \
             "container already carries a color affine"
-        blocks[0]["color_affine"] = W
-        out = np.asarray(rec).copy()
-        out[:, 3:6] = color_affine.apply(out[:, 3:6], W)
+        if W is not None:
+            blocks[0]["color_affine"] = W
+        if payload is not None:
+            blocks[0]["color_resid"] = payload
         return bitstream.write_container(None, blocks, scaling_factor), out
 
     def _decompress_group(self, blks, device=None):

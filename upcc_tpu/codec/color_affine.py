@@ -77,11 +77,22 @@ def fit(rec, source, source_tree=None, rec_tree=None):
     A = np.concatenate([x, np.ones((len(x), 1))], axis=1)
     W, *_ = np.linalg.lstsq(A, t, rcond=None)
     W = W.T  # [3, 4]
-    mse0 = float(((x - t) ** 2).mean())
-    mse1 = float(((A @ W.T - t) ** 2).mean())
-    if not np.all(np.isfinite(W)) or mse1 >= mse0 - 1e-12:
+    if not np.all(np.isfinite(W)):
         return None, 0.0
-    return np.ascontiguousarray(W, np.float32), mse0 - mse1
+    W32 = np.ascontiguousarray(W, np.float32)
+    mse0 = float(((x - t) ** 2).mean())
+    # judge the gain the way the metric will see it: apply the float32
+    # matrix that would actually be signaled and round the corrected RGB to
+    # the 8-bit grid (eval/metrics.py::rgb_to_yuv_bt709 rounds to 255ths)
+    # before re-measuring — sub-quantization-step LS "gains" can vanish or
+    # slightly reverse after rounding (ADVICE r4)
+    fixed = np.round(np.clip(apply(rec[:, 3:6], W32), 0.0, 1.0) * 255.0) \
+        / 255.0
+    x1 = np.concatenate([_to_yuv(fixed), _to_yuv(fixed[i_ab])])
+    mse1 = float(((x1 - t) ** 2).mean())
+    if mse1 >= mse0 - 1e-12:
+        return None, 0.0
+    return W32, mse0 - mse1
 
 
 def apply(colors01, W):

@@ -1,0 +1,265 @@
+"""Signaled residual color enhancement layer (RAHT-coded YUV residuals).
+
+The synthesis color head saturates near the top of the rate range (from
+q_a 0.5 -> 1.0 the Y curve rises ~0.06 dB for ~0.5 bpp, TPU_NOTES.md
+round-4): eval-time *global* corrections (codec/color_affine.py) cannot move
+that ceiling because the remaining error is spatial.  The standard scalable-
+codec answer is an enhancement layer: the encoder decodes its own stream,
+nearest-neighbor-associates each decoded point with the source (exactly the
+evaluation metric's BA association incl. equidistant-tie averaging,
+eval/metrics.py::_directional), and codes the quantized YUV residuals as an
+optional second layer.
+
+Coding per-point residuals memorylessly would cost several bits/point; the
+residuals are still spatially correlated, so they ride the same
+Region-Adaptive Hierarchical Transform used by the native anchor
+(codec/raht.py, de Queiroz & Chou 2016): orthonormal, structure replayed
+from the *decoded* geometry on both sides, so the only side information is
+the quantization step and six Laplace stream specs.  Chroma is quantized at
+2x the luma step (the metric's yuv_psnr weights Y 6/8,
+/root/reference/utils.py:245-264).
+
+The step is chosen per frame by minimizing J = bpp + lambda_A(q_a) * mse01
+over a fixed candidate ladder — the same units as the training loss
+(bpp weight 1, ColorLoss L2 on [0,1] colors scaled by the quadratic
+lambda_A schedule, configs/CVPR_inverse_scaling.yaml), so the layer engages
+exactly where the base layer's RD slope has gone flat and stays off at low
+q_a.  "Off" is always a candidate; the layer is only signaled when the
+Lagrangian (with the actual coded byte count) improves on it.
+
+The payload rides the container's first block under FLAG_COLOR_RESID
+(bitstream.py v6) and is counted in every reported bpp.  The reference has
+no equivalent (its colors leave the synthesis transform unconditioned,
+/root/reference/model/model.py:199-251); this is a TPU-repo serving/eval
+addition, applied after the affine refit and off in the latency bench.
+"""
+
+import struct
+
+import numpy as np
+
+from ..ops.coords import morton_encode_np
+from . import raht
+
+# Luma quantization step ladder (chroma rides at _UV_RATIO x).  Spans
+# near-lossless (1) to "barely on" (64); float32-signaled so the ladder can
+# change without a container bump.
+CANDIDATE_STEPS = (1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0, 12.0,
+                   16.0, 24.0, 32.0, 48.0, 64.0)
+_UV_RATIO = 2.0
+_MAGIC = b"UR"
+_MAX_ABS_CAP = 4096
+
+
+def _step_vec(qstep):
+    """Per-channel quantization steps [Y, U, V]."""
+    return np.array([qstep, qstep * _UV_RATIO, qstep * _UV_RATIO],
+                    np.float64)
+
+
+def _metric_w():
+    """Channel weights of the metric's yuv_psnr = (6y+u+v)/8."""
+    return np.array([6.0, 1.0, 1.0], np.float64) / 8.0
+
+
+def _sorted_unique_keys(xyz):
+    """Morton keys of the decoded geometry in canonical (sorted) order.
+
+    Returns (ukeys, depth, inv) with ``inv`` mapping each input row to its
+    unique-key slot — identical on encoder and decoder because it depends
+    only on the decoded coordinates.  Duplicate voxels (possible after
+    multi-block concatenation at block seams) share one slot; their
+    residuals are averaged and they receive the same correction.
+    """
+    ipts = np.round(np.asarray(xyz, np.float64)).astype(np.int64)
+    mins = ipts.min(axis=0)
+    loc = ipts - mins
+    top = int(loc.max()) if len(loc) else 0
+    depth = max(1, int(np.ceil(np.log2(top + 1))) if top > 0 else 1)
+    keys = morton_encode_np(loc)
+    ukeys, inv = np.unique(keys, return_inverse=True)
+    return ukeys, depth, inv
+
+
+def _avg_by_slot(values, inv, n_slots):
+    sums = np.zeros((n_slots, values.shape[1]), np.float64)
+    np.add.at(sums, inv, values)
+    counts = np.bincount(inv, minlength=n_slots).astype(np.float64)
+    return sums / counts[:, None]
+
+
+def _ba_targets_yuv(rec, source, source_tree):
+    """The metric's BA association targets: for each decoded point, the
+    equidistant-tie-averaged color of its nearest source points, in the
+    0-255 YUV convention (raht._yuv_from_rgb01)."""
+    k = min(8, len(source))
+    dist, idx = source_tree.query(rec[:, :3], k=k)
+    if k == 1:
+        dist, idx = dist[:, None], idx[:, None]
+    src_yuv = raht._yuv_from_rgb01(source[:, 3:6])
+    d2 = dist ** 2
+    ties = (d2 - d2[:, :1]) < 1e-8
+    w = ties.astype(np.float64)
+    return (src_yuv[idx] * w[..., None]).sum(1) / w.sum(1, keepdims=True)
+
+
+def _laplace_bits(q):
+    """Codelength estimate (bits) of an int stream under its own Laplace
+    fit — matches raht._code_streams' model within ~1%."""
+    if len(q) == 0:
+        return 0.0
+    b = float(np.mean(np.abs(q))) + 1e-3
+    kmax = int(min(max(np.abs(q).max(), 1), _MAX_ABS_CAP))
+    k = np.arange(-kmax, kmax + 1, dtype=np.float64)
+    pmf = np.exp(-np.abs(k) / b)
+    pmf /= pmf.sum()
+    lp = -np.log2(np.maximum(pmf, 1e-12))
+    return float(lp[np.clip(q, -kmax, kmax) + kmax].sum())
+
+
+def _quantize(dc, ac_all, steps3):
+    qdc = np.round(dc / steps3).astype(np.int64)
+    qac = np.round(ac_all / steps3).astype(np.int64)
+    return qdc, qac
+
+
+def _coef_sse(dc, ac_all, qdc, qac, steps3):
+    """Per-channel squared coefficient error == per-channel signal SSE
+    (the transform is orthonormal)."""
+    e_dc = dc - qdc * steps3
+    e_ac = ac_all - qac * steps3
+    return (e_dc ** 2).sum(axis=0) + (e_ac ** 2).sum(axis=0)
+
+
+def fit(rec, source, lam, source_tree=None, steps=CANDIDATE_STEPS):
+    """Fit the residual enhancement layer for one decoded frame.
+
+    rec, source: [N, 6] (xyz, rgb01); ``rec`` colors should already carry
+    any upstream correction (the affine refit).  ``lam`` is the Lagrangian
+    color weight in training-loss units (lambda_A(q_a); J = bpp + lam *
+    weighted YUV mse on the [0,1] scale).
+
+    Returns (payload bytes | None, corrected rgb01 | None, info dict).  The
+    corrected colors are bit-identical to what ``apply`` produces on the
+    decoder side (both dequantize the same integer coefficients through
+    raht_inverse on the same geometry-derived structure).
+    """
+    from scipy.spatial import cKDTree
+
+    rec = np.asarray(rec, np.float64)
+    source = np.asarray(source, np.float64)
+    info = {"engaged": False}
+    if (len(rec) == 0 or len(source) == 0 or rec.shape[1] < 6
+            or source.shape[1] < 6 or lam <= 0.0):
+        return None, None, info
+    if source_tree is None:
+        source_tree = cKDTree(source[:, :3])
+
+    ukeys, depth, inv = _sorted_unique_keys(rec[:, :3])
+    targets = _ba_targets_yuv(rec, source, source_tree)
+    rec_yuv = raht._yuv_from_rgb01(rec[:, 3:6])
+    resid = _avg_by_slot(targets - rec_yuv, inv, len(ukeys))
+
+    dc, acs = raht.raht_forward(ukeys, resid, depth)
+    ac_all = (np.concatenate(acs, axis=0) if acs
+              else np.zeros((0, 3), np.float64))
+
+    n = float(len(rec))
+    w = _metric_w()
+    # "off" candidate: the current (association-level) color error
+    sse_off = (resid ** 2 * np.bincount(
+        inv, minlength=len(ukeys)).astype(np.float64)[:, None]).sum(axis=0)
+    d_off = float((w * sse_off).sum() / n) / 255.0 ** 2
+    best = {"J": lam * d_off, "step": None}
+    for s in steps:
+        sv = _step_vec(s)
+        qdc, qac = _quantize(dc, ac_all, sv)
+        sse = _coef_sse(dc, ac_all, qdc, qac, sv)
+        d = float((w * sse).sum() / n) / 255.0 ** 2
+        bits = sum(_laplace_bits(qac[:, c]) + _laplace_bits(qdc[:, c])
+                   for c in range(3))
+        bits += 8 * (2 + 4 + 6 * 6 + 4)  # header + specs + length
+        J = bits / n + lam * d
+        if J < best["J"]:
+            best = {"J": J, "step": s, "qdc": qdc, "qac": qac, "d": d}
+    info["d_off_mse01"] = d_off
+    if best["step"] is None:
+        return None, None, info
+
+    sv = _step_vec(best["step"])
+    qdc, qac = best["qdc"], best["qac"]
+    streams, spec_bytes = [], b""
+    for arr in (qac, qdc):
+        for ch in range(3):
+            v = arr[:, ch]
+            b = float(np.mean(np.abs(v))) + 1e-3 if len(v) else 1e-3
+            ma = int(min(max(np.abs(v).max() if len(v) else 1, 1),
+                         _MAX_ABS_CAP))
+            streams.append((
+                np.clip(v, -2 ** 30, 2 ** 30).astype(np.int32),
+                np.float32(b), ma))
+            spec_bytes += struct.pack("<fH", np.float32(b), ma)
+    coded = raht._code_streams(streams)
+    payload = (_MAGIC + struct.pack("<f", np.float32(best["step"]))
+               + spec_bytes + struct.pack("<I", len(coded)) + coded)
+
+    # final decision against the actual coded size (the estimate is ~1%
+    # optimistic); only signal when the layer genuinely pays
+    J_actual = len(payload) * 8 / n + lam * best["d"]
+    if J_actual >= lam * d_off:
+        return None, None, info
+
+    corr = _apply_coeffs(rec, ukeys, depth, inv, qdc, qac, sv)
+    info.update({"engaged": True, "step": best["step"],
+                 "bytes": len(payload), "d_mse01": best["d"]})
+    return payload, corr, info
+
+
+def _apply_coeffs(rec, ukeys, depth, inv, qdc, qac, steps3):
+    """Dequantize + inverse transform + add; round to the 8-bit RGB grid
+    (the decompress contract and the metric's own convention)."""
+    steps = raht._raht_structure(ukeys, depth)
+    ac_counts = [len(s[0]) for s in steps]
+    dcv = qdc.astype(np.float64) * steps3
+    acv = qac.astype(np.float64) * steps3
+    acs, p = [], 0
+    for m in ac_counts:
+        acs.append(acv[p:p + m])
+        p += m
+    resid = raht.raht_inverse(ukeys, depth, dcv, acs)
+    yuv = raht._yuv_from_rgb01(rec[:, 3:6]) + resid[inv]
+    rgb = raht._rgb01_from_yuv(yuv)
+    return (np.round(rgb * 255.0) / 255.0).astype(np.float32)
+
+
+def apply(rec, payload):
+    """Decoder side: rec [N, 6] (xyz on the voxel grid, rgb01) -> corrected
+    rgb01 on the 8-bit grid.  Inverse of ``fit``'s signaling."""
+    rec = np.asarray(rec, np.float64)
+    if payload is None or len(rec) == 0:
+        return rec[:, 3:6].astype(np.float32)
+    if payload[:2] != _MAGIC:
+        raise ValueError("bad color-residual payload magic")
+    pos = 2
+    (qstep,) = struct.unpack_from("<f", payload, pos)
+    pos += 4
+    specs = []
+    for _ in range(6):
+        b, ma = struct.unpack_from("<fH", payload, pos)
+        pos += struct.calcsize("<fH")
+        specs.append((float(b), int(ma)))
+    (coded_len,) = struct.unpack_from("<I", payload, pos)
+    pos += 4
+
+    ukeys, depth, inv = _sorted_unique_keys(rec[:, :3])
+    tsteps = raht._raht_structure(ukeys, depth)
+    ac_counts = [len(s[0]) for s in tsteps]
+    n_ac = int(sum(ac_counts))
+    n_dc = len(ukeys) - n_ac
+    counts = [n_ac] * 3 + [n_dc] * 3
+    chans = raht._decode_streams(
+        payload[pos:pos + coded_len],
+        [(c, b, ma) for c, (b, ma) in zip(counts, specs)])
+    qac = np.stack(chans[:3], 1).astype(np.int64)
+    qdc = np.stack(chans[3:], 1).astype(np.int64)
+    return _apply_coeffs(rec, ukeys, depth, inv, qdc, qac, _step_vec(qstep))

@@ -11,6 +11,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -90,9 +91,22 @@ def local_dp_rows(mesh, axis="data"):
     need per-shard assembly, which make_mesh's jax.devices() ordering
     never produces.
     """
-    devs = list(mesh.devices.reshape(-1))
+    # index the named axis, not a flatten of the whole device grid — on a
+    # multi-axis mesh the flat order would interleave other axes' devices
+    # into the row ranges (ADVICE r4)
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
+    ax = mesh.axis_names.index(axis)
+    grid = np.moveaxis(mesh.devices, ax, 0)
+    if grid.size != grid.shape[0]:
+        # rows of the data axis span other-axis device groups; a row is
+        # "owned" by this process only if every device in it is local
+        devs = [g.reshape(-1) for g in grid]
+    else:
+        devs = [[d] for d in grid.reshape(-1)]
     pid = jax.process_index()
-    rows = [i for i, d in enumerate(devs) if d.process_index == pid]
+    rows = [i for i, g in enumerate(devs)
+            if all(d.process_index == pid for d in g)]
     if not rows:
         raise ValueError(f"process {pid} owns no devices on mesh axis {axis!r}")
     lo, hi = rows[0], rows[-1] + 1
