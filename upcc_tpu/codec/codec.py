@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..coding import occ as occ_coder
 from ..coding import octree, rans
 from ..models.entropy import gaussian
 from ..models.entropy.bottleneck import build_cdf_tables
@@ -215,7 +216,6 @@ class Codec:
         self.tables = {
             "z": build_cdf_tables(bn, ch),
             "y": gaussian.build_cdf_tables(),
-            "occ": refine.build_occ_cdf_tables(),
         }
 
     # -- cached jitted device graphs ----------------------------------------
@@ -695,25 +695,22 @@ class Codec:
         if sh["k_all"] is None:
             sh["k_all"] = k_all
 
-        occ_streams, occ_tables = None, None
+        occ_streams = None
         if geom == "coded":
             occ_streams = [[] for _ in range(g)]
-            occ_tables = np.zeros((3, refine.N_BINS), np.uint16)
             gt = sh["gt_levels"]
 
             def _code_bits(lvl, parents, bins_np, slices):
                 occ = refine.occupancy_np(refine.children_np(parents),
                                           gt[lvl])
-                # two-pass measured tables (refine.quantize_tables): the
-                # level's empirical per-bin frequencies replace the static
-                # sigmoid tables; the quantized row rides the container
-                occ_tables[lvl] = refine.quantize_tables(occ, bins_np)
-                ot = refine.tables_from_quantized(occ_tables[lvl])
+                # occupancy coder v2 (coding/occ.py): one-pass adaptive KT
+                # contexts of (logit bin x causal sibling count), seeded
+                # from the bin-center sigmoid prior — no table side info,
+                # no second pass, and the sibling context carries the
+                # surface correlation the per-candidate logits cannot
                 for i, s in enumerate(slices):
                     occ_streams[i].append(self._t(
-                        "enc.rans_occ", rans.encode_with_indexes,
-                        occ[s].astype(np.int32), bins_np[s].astype(np.int32),
-                        ot["cdf"], ot["cdf_length"], ot["offset"]))
+                        "enc.occ_ctx", occ_coder.encode, occ[s], bins_np[s]))
                 return occ
 
             self._occ_stages(params, device, sh["y_keys"],
@@ -759,11 +756,7 @@ class Codec:
                            "coord_bytes": coord_bytes, "y_bytes": y_bytes,
                            "z_bytes": z_bytes,
                            "occ_bytes": (tuple(occ_streams[i])
-                                         if occ_streams else None),
-                           # measured coding tables ride the q pass's first
-                           # block; the decoder carries them down the q run
-                           "occ_tables": (occ_tables if occ_streams and i == 0
-                                          else None)})
+                                         if occ_streams else None)})
         return blocks
 
     # -- decode --------------------------------------------------------------
@@ -772,17 +765,6 @@ class Codec:
         """Returns numpy [N, 6] (xyz int, rgb in [0,1] on the 8-bit grid)."""
         assert self.tables is not None, "call update() first"
         blocks, scaling_factor = bitstream.read_container(path_or_bytes)
-        # measured occupancy tables ride the first block of each q pass;
-        # carry them forward so every decode group (which may start mid-run
-        # after point-budget chunking) sees its run's tables at blks[0]
-        tab = None
-        for b in blocks:
-            if b.get("occ_bytes") is None:
-                tab = None
-            elif b.get("occ_tables") is not None:
-                tab = b["occ_tables"]
-            else:
-                b["occ_tables"] = tab
         # q is stored per block; a device group shares one q vector (it feeds
         # the batched gain nets), so group only runs of equal q — mixed-q
         # containers decode correctly instead of desyncing the rANS indexes.
@@ -805,7 +787,7 @@ class Codec:
         return x
 
     def refit_colors(self, data, source_pc, rec=None, source_tree=None,
-                     resid_lam=0.0, fit_affine=True):
+                     resid_lam=0.0, fit_affine=True, resid_floor=0.0):
         """Encoder-side color refit: fit the frame's signaled corrections
         against the source and return ``(new_container_bytes, corrected
         reconstruction)``.  ``rec`` skips the decode when the caller has
@@ -832,7 +814,8 @@ class Codec:
             out[:, 3:6] = color_affine.apply(out[:, 3:6], W)
         if resid_lam > 0.0:
             payload, corr, _info = color_resid.fit(
-                out, src, resid_lam, source_tree=source_tree)
+                out, src, resid_lam, source_tree=source_tree,
+                d_floor=resid_floor)
             if payload is not None:
                 out = out.copy() if out is rec else out
                 out[:, 3:6] = corr
@@ -947,24 +930,18 @@ class Codec:
 
         if blks[0].get("occ_bytes") is not None:
             # coded-occupancy (lossless-geometry) container: staged decode —
-            # each level's occupancy bits are rANS-decoded against the
-            # device-computed context bins, then fed back as the next
-            # stage's selection (codec/refine.py)
+            # each level's occupancy bits are context-decoded against the
+            # device-computed logit bins + the decoder's own causal sibling
+            # counts (coding/occ.py), then fed back as the next stage's
+            # selection (codec/refine.py)
             y_sym_dev = self._dev(y_sym, device)
-            tab = blks[0].get("occ_tables")
 
             def _decode_bits(lvl, parents, bins_np, slices):
-                # per-level measured tables from the container (v5); static
-                # sigmoid fallback only for hand-built table-less streams
-                ot = (refine.tables_from_quantized(tab[lvl])
-                      if tab is not None else self.tables["occ"])
                 occ = np.empty(8 * len(parents), bool)
                 for b, s in zip(blks, slices):
-                    vals = self._t("dec.rans_occ", rans.decode_with_indexes,
-                                   b["occ_bytes"][lvl],
-                                   bins_np[s].astype(np.int32),
-                                   ot["cdf"], ot["cdf_length"], ot["offset"])
-                    occ[s] = vals.astype(bool)
+                    occ[s] = self._t("dec.occ_ctx", occ_coder.decode,
+                                     b["occ_bytes"][lvl],
+                                     bins_np[s]).astype(bool)
                 return occ
 
             keeps_dev, ccaps, final_keys = self._occ_stages(

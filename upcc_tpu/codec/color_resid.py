@@ -131,13 +131,52 @@ def _coef_sse(dc, ac_all, qdc, qac, steps3):
     return (e_dc ** 2).sum(axis=0) + (e_ac ** 2).sum(axis=0)
 
 
-def fit(rec, source, lam, source_tree=None, steps=CANDIDATE_STEPS):
+def estimate_ab_floor(rec, source, source_tree=None, sample=25_000, seed=0):
+    """Sampled estimate (weighted mse01) of the metric's AB-direction color
+    floor under a perfect BA correction.
+
+    The sym metric is min(AB, BA): once the residual layer drives the BA
+    error to ~0, each source point s still reads the corrected color of its
+    nearest rec point r, which is r's own nearest-source tie-average — for
+    voxel-exact hits that is s itself (error -> quantization only), for
+    misses it is a neighbor's color.  Quantizing far below that neighbor-
+    variation floor buys nothing the metric can see, so fit() caps its
+    distortion model here.  Depends on geometry + source colors only
+    (geometry is q_g-driven), so callers can cache it per (sequence, q_g).
+    """
+    from scipy.spatial import cKDTree
+
+    rec = np.asarray(rec, np.float64)
+    source = np.asarray(source, np.float64)
+    if len(rec) == 0 or len(source) == 0 or source.shape[1] < 6:
+        return 0.0
+    if source_tree is None:
+        source_tree = cKDTree(source[:, :3])
+    rng = np.random.default_rng(seed)
+    idx = (rng.choice(len(source), sample, replace=False)
+           if len(source) > sample else np.arange(len(source)))
+    s_pts = source[idx, :3]
+    # nearest rec point of each sampled source point...
+    rtree = cKDTree(rec[:, :3])
+    _, i_r = rtree.query(s_pts, k=1)
+    # ...whose corrected color will be its own tie-averaged source target
+    t = _ba_targets_yuv(rec[i_r], source, source_tree)
+    s_yuv = raht._yuv_from_rgb01(source[idx, 3:6])
+    w = _metric_w()
+    return float((w * ((t - s_yuv) ** 2).mean(axis=0)).sum()) / 255.0 ** 2
+
+
+def fit(rec, source, lam, source_tree=None, steps=CANDIDATE_STEPS,
+        d_floor=0.0):
     """Fit the residual enhancement layer for one decoded frame.
 
     rec, source: [N, 6] (xyz, rgb01); ``rec`` colors should already carry
     any upstream correction (the affine refit).  ``lam`` is the Lagrangian
     color weight in training-loss units (lambda_A(q_a); J = bpp + lam *
-    weighted YUV mse on the [0,1] scale).
+    weighted YUV mse on the [0,1] scale).  ``d_floor`` (estimate_ab_floor)
+    caps the distortion model: candidates are scored at max(quant mse,
+    d_floor), so the search stops refining once the metric's other
+    direction would clip the gain anyway.
 
     Returns (payload bytes | None, corrected rgb01 | None, info dict).  The
     corrected colors are bit-identical to what ``apply`` produces on the
@@ -169,13 +208,13 @@ def fit(rec, source, lam, source_tree=None, steps=CANDIDATE_STEPS):
     # "off" candidate: the current (association-level) color error
     sse_off = (resid ** 2 * np.bincount(
         inv, minlength=len(ukeys)).astype(np.float64)[:, None]).sum(axis=0)
-    d_off = float((w * sse_off).sum() / n) / 255.0 ** 2
+    d_off = max(float((w * sse_off).sum() / n) / 255.0 ** 2, d_floor)
     best = {"J": lam * d_off, "step": None}
     for s in steps:
         sv = _step_vec(s)
         qdc, qac = _quantize(dc, ac_all, sv)
         sse = _coef_sse(dc, ac_all, qdc, qac, sv)
-        d = float((w * sse).sum() / n) / 255.0 ** 2
+        d = max(float((w * sse).sum() / n) / 255.0 ** 2, d_floor)
         bits = sum(_laplace_bits(qac[:, c]) + _laplace_bits(qdc[:, c])
                    for c in range(3))
         bits += 8 * (2 + 4 + 6 * 6 + 4)  # header + specs + length
@@ -183,6 +222,7 @@ def fit(rec, source, lam, source_tree=None, steps=CANDIDATE_STEPS):
         if J < best["J"]:
             best = {"J": J, "step": s, "qdc": qdc, "qac": qac, "d": d}
     info["d_off_mse01"] = d_off
+    info["d_floor"] = d_floor
     if best["step"] is None:
         return None, None, info
 

@@ -69,12 +69,13 @@ def _tables_from_probs(probs, precision=16):
 
 
 def build_occ_cdf_tables(precision=16):
-    """Static fallback tables: sigmoid of each bin center.  The production
-    path uses per-frame measured tables (quantize_tables below) — the heads
-    are trained with a focal loss, whose probabilities are systematically
-    miscalibrated for coding, and the three levels have very different
-    occupancy priors; both effects are captured exactly by two-pass
-    measurement at ~65 B/level of side info."""
+    """Static tables: sigmoid of each bin center.  SUPERSEDED twice over:
+    v5 used per-frame measured tables (quantize_tables below, −21% stream
+    on the probe frame — the focal-loss heads are miscalibrated as coding
+    distributions); v6 coding uses the one-pass adaptive sibling-context
+    coder (coding/occ.py), which converges to the per-frame rates without
+    table side info and adds causal sibling conditioning.  Kept for study
+    scripts and rate-comparison tests."""
     return _tables_from_probs(bin_probabilities(), precision)
 
 
