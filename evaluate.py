@@ -254,7 +254,27 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
         rows = []
 
         def _finish(job):
-            row, rec, corner = job
+            row, data, rec, corner, lam_a, fkey, t_dec = job
+            if color_affine or lam_a > 0.0:
+                # encoder-side signaled color refit (affine + residual
+                # enhancement layer) runs HERE on the worker so the device
+                # can start the next row — all host numpy, no shared codec
+                # state.  All signaled bytes are counted in bpp; the refit
+                # consumes a self-decode, so its wall plus the decode wall
+                # count into t_compress (ADVICE r4).
+                t3 = time.time()
+                stree = (job_src[0].tree
+                         if job_src[0] is not None else None)
+                if lam_a > 0.0 and fkey not in floor_cache:
+                    from upcc_tpu.codec.color_resid import estimate_ab_floor
+                    floor_cache[fkey] = estimate_ab_floor(
+                        rec, pc, source_tree=stree)
+                data, rec = codec.refit_colors(
+                    data, pc, rec=rec, source_tree=stree,
+                    resid_lam=lam_a, fit_affine=color_affine,
+                    resid_floor=floor_cache.get(fkey, 0.0))
+                row["t_compress"] += (time.time() - t3) + t_dec
+            row["bpp"] = len(data) * 8 / row["num_points"]
             if with_metrics:
                 m = pc_metrics(job_src[0], rec, job_src[1])
                 row.update({k: v for k, v in m.items()
@@ -270,6 +290,10 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                 from upcc_tpu.eval.render import render_pointcloud
                 render_pointcloud(rec, path_prefix=corner)
             rows.append(row)
+            print(f"[{exp}] {row['sequence']} "
+                  f"q=({row['q_g']:.2f},{row['q_a']:.2f}) "
+                  f"bpp={row['bpp']:.3f} enc={row['t_compress']:.2f}s "
+                  f"dec={row['t_decompress']:.2f}s", flush=True)
 
         q_jobs = queue.Queue(maxsize=1)
         w_err = []
@@ -306,6 +330,10 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                        spec["resolution"],
                        pcqm_fn.prepare(pc)
                        if (with_metrics and with_pcqm) else None)
+            # AB-direction floor cache for the residual layer's distortion
+            # model: geometry (and hence the floor) is q_g-driven, so one
+            # sampled estimate serves the whole q_a column
+            floor_cache = {}
             for qg in qs:
                 for qa in qs:
                     t0 = time.time()
@@ -315,27 +343,11 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                     t1 = time.time()
                     rec = codec.decompress(data)
                     t2 = time.time()
-                    t_comp = t1 - t0
-                    if color_affine or color_resid:
-                        # encoder-side signaled color refit (affine +
-                        # residual enhancement layer; all signaled bytes are
-                        # in len(data)).  The refit consumes a self-decode:
-                        # count the decode wall (t2-t1) into encode time too
-                        # so t_compress stays comparable with
-                        # --no_color_affine runs (ADVICE r4).
-                        data, rec = codec.refit_colors(
-                            data, pc, rec=rec,
-                            source_tree=(job_src[0].tree
-                                         if job_src[0] is not None else None),
-                            resid_lam=(_lambda_a(float(qa))
-                                       if color_resid else 0.0),
-                            fit_affine=color_affine)
-                        t_comp += (time.time() - t2) + (t2 - t1)
                     row = {"sequence": seq, "frameIdx": spec["frame"],
                            "q_g": round(float(qg), 3),
                            "q_a": round(float(qa), 3),
                            "bpp": len(data) * 8 / len(pc),
-                           "t_compress": t_comp, "t_decompress": t2 - t1,
+                           "t_compress": t1 - t0, "t_decompress": t2 - t1,
                            "num_points": len(pc),
                            "synthetic": int(synthetic)}
                     corner = None
@@ -345,10 +357,9 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                             f"{seq}_q{float(qg):.2f}_{float(qa):.2f}")
                     if w_err:
                         raise w_err[0]
-                    q_jobs.put((row, rec, corner))
-                    print(f"[{exp}] {seq} q=({qg:.1f},{qa:.1f}) "
-                          f"bpp={row['bpp']:.3f} enc={row['t_compress']:.2f}s "
-                          f"dec={row['t_decompress']:.2f}s", flush=True)
+                    lam_a = _lambda_a(float(qa)) if color_resid else 0.0
+                    q_jobs.put((row, data, rec, corner, lam_a,
+                                round(float(qg), 3), t2 - t1))
         q_jobs.put(None)
         worker.join()
         if w_err:

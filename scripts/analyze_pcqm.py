@@ -50,10 +50,10 @@ def spearman(a, b):
     a, b = a[ok], b[ok]
     if len(a) < 3:
         return np.nan
-    ra = pd.Series(a).rank().to_numpy()
-    rb = pd.Series(b).rank().to_numpy()
-    ra -= ra.mean()
-    rb -= rb.mean()
+    ra = pd.Series(a).rank().to_numpy(copy=True)
+    rb = pd.Series(b).rank().to_numpy(copy=True)
+    ra = ra - ra.mean()
+    rb = rb - rb.mean()
     denom = np.sqrt((ra ** 2).sum() * (rb ** 2).sum())
     return float((ra * rb).sum() / denom) if denom > 0 else np.nan
 

@@ -59,8 +59,10 @@ def test_fit_apply_bit_identity_and_gain():
     # colors on the 8-bit grid (the decompress contract)
     assert np.allclose(np.round(corr * 255.0), corr * 255.0, atol=1e-9)
     # and the correction is a large real improvement vs the source colors
-    # (rec geometry == src geometry here, so the BA association is exact)
-    assert _yuv_mse(corr, src[:, 3:6]) < 0.1 * _yuv_mse(rec[:, 3:6],
+    # (rec geometry == src geometry here, so the BA association is exact;
+    # the subband RD search stops where bits stop paying, so expect a big
+    # but not maximal reduction)
+    assert _yuv_mse(corr, src[:, 3:6]) < 0.2 * _yuv_mse(rec[:, 3:6],
                                                         src[:, 3:6])
 
 
@@ -212,3 +214,22 @@ def test_codec_refit_resid_decode_equivalence():
     m0 = pc_metrics(pc, rec, 64, with_d2=False)
     m1 = pc_metrics(pc, rec2, 64, with_d2=False)
     assert m1["sym_y_psnr"] > m0["sym_y_psnr"] + 3.0
+
+
+def test_ab_floor_caps_refinement():
+    """With a distortion floor (the sym metric's AB direction), the search
+    must stop refining: a large floor yields a coarser step or 'off'."""
+    rng = np.random.default_rng(9)
+    src = _smooth_cloud(rng)
+    rec = _distorted(src, rng)
+    _, _, free = color_resid.fit(rec, src, lam=12800.0)
+    floor = color_resid.estimate_ab_floor(rec, src)
+    assert floor.shape == (3,) and (floor >= 0.0).all()
+    big = max(free.get("d_mse01", 0.0) * 50, 1e-4)
+    p2, _, capped = color_resid.fit(rec, src, lam=12800.0, d_floor=big)
+    if capped["engaged"]:
+        assert capped["bytes"] <= free["bytes"]
+    # identical geometry: the floor is just the quantization-free assoc
+    # error, which is 0 here (every source voxel exists in rec)
+    same_geo = color_resid.estimate_ab_floor(src, src)
+    assert (same_geo < 1e-9).all()
