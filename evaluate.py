@@ -360,18 +360,26 @@ def run_testset(experiments, q_steps=11, sequences=None, with_metrics=True,
                     lam_a = _lambda_a(float(qa)) if color_resid else 0.0
                     q_jobs.put((row, data, rec, corner, lam_a,
                                 round(float(qg), 3), t2 - t1))
+            # crash-safe incremental write: flush this sequence's rows as
+            # soon as its grid completes (a multi-sequence sweep holds
+            # hours of chip time — losing buffered rows to a crash is
+            # worse than a few extra CSV rewrites).  First flush honors
+            # --append semantics; later flushes always append.
+            q_jobs.join()
+            if w_err:
+                raise w_err[0]
+            if rows:
+                path = os.path.join(exp_dir, "test.csv")
+                n_old = write_testset_csv(path, rows, append)
+                append = True
+                print(f"[{exp}] wrote {path} "
+                      f"({n_old + len(rows)} rows, {len(rows)} new)",
+                      flush=True)
+                rows = []
         q_jobs.put(None)
         worker.join()
         if w_err:
             raise w_err[0]
-        if rows:
-            path = os.path.join(exp_dir, "test.csv")
-            # --append: extend an existing sweep (e.g. add a vox11 sequence
-            # at a coarser q grid without redoing the vox10 grid); replaced
-            # sequences are dropped first so a rerun stays consistent
-            n_old = write_testset_csv(path, rows, append)
-            print(f"[{exp}] wrote {path} "
-                  f"({n_old + len(rows)} rows, {len(rows)} new)")
 
 
 if __name__ == "__main__":
