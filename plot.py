@@ -276,23 +276,28 @@ def compute_bd_deltas(frames, anchor, out_dir, anchor_points="style"):
                     continue
                 ov_r = rate_overlap(ca.bpp, cb.bpp)
                 ov_q = quality_overlap(ca[mkey], cb[mkey])
-                # a delta is only meaningful when BOTH integration domains
-                # genuinely overlap; otherwise the PCHIP extrapolation
-                # produces numbers that look like results but aren't
-                # (r4 weak #7: −6..−8 dB "BD-PSNR" rows at
-                # overlap_quality=0).  Mark them instead of mixing them in.
-                comparable = ov_r >= BD_MIN_OVERLAP and ov_q > 0.0
+                # each delta is gated on ITS OWN integration axis —
+                # BD-PSNR integrates over the common rate range, BD-rate
+                # over the common quality range — and rows say which axis
+                # failed instead of leaving blank cells beside numbers
+                # that look meaningful (r4 weak #7: vacuous coded-mode
+                # rows at overlap_quality=0)
+                ok_p = ov_r >= BD_MIN_OVERLAP
+                ok_r = ov_q >= BD_MIN_OVERLAP
+                status = ("ok" if ok_p and ok_r else
+                          "no_quality_overlap" if ok_p else
+                          "no_rate_overlap" if ok_r else "no_overlap")
                 rows.append({
                     "experiment": exp, "sequence": seq, "metric": mkey,
                     "bd_rate_%": bd_rate(ca.bpp, ca[mkey], cb.bpp, cb[mkey],
                                          min_overlap=BD_MIN_OVERLAP)
-                    if comparable else float("nan"),
+                    if ok_r else float("nan"),
                     "bd_psnr_dB": bd_psnr(ca.bpp, ca[mkey], cb.bpp, cb[mkey],
                                           min_overlap=BD_MIN_OVERLAP)
-                    if comparable else float("nan"),
+                    if ok_p else float("nan"),
                     "overlap_rate": ov_r,
                     "overlap_quality": ov_q,
-                    "status": "ok" if comparable else "no_overlap",
+                    "status": status,
                     "anchor_points": anchor_points,
                 })
     out = pd.DataFrame(rows)
