@@ -57,6 +57,13 @@ def main(argv=None):
                          "and attach it (48 B) to the container "
                          "(codec/color_affine.py); slower encode, better "
                          "color fidelity")
+    ap.add_argument("--color_resid", type=float, default=0.0, metavar="LAM",
+                    help="residual color enhancement layer with Lagrangian "
+                         "weight LAM (training-loss units; e.g. 12800 = "
+                         "the flagship's lambda_A at q_a=1): RAHT-code "
+                         "quantized YUV residuals vs the input as a second "
+                         "layer (codec/color_resid.py); implies the "
+                         "encoder-side self-decode")
     ap.add_argument("--ladder", type=float, nargs="+", default=None,
                     metavar="Q",
                     help="multi-rate simulcast encode: flat q_g q_a pairs "
@@ -70,9 +77,10 @@ def main(argv=None):
             ap.error("--ladder only applies to encode")
         if len(a.ladder) % 2:
             ap.error("--ladder takes q_g q_a PAIRS (even count of floats)")
-        if a.color_affine:
-            ap.error("--color_affine with --ladder is not supported yet "
-                     "(each rung would need its own decode+fit)")
+        if a.color_affine or a.color_resid:
+            ap.error("--color_affine/--color_resid with --ladder is not "
+                     "supported yet (each rung would need its own "
+                     "decode+fit)")
 
     many = len(a.inputs) > 1
     if many:
@@ -118,8 +126,10 @@ def main(argv=None):
                                       scaling_factor=a.scaling_factor,
                                       geom=a.geom)
         for inp, blob in zip(a.inputs, blobs):
-            if a.color_affine:
-                blob, _rec = codec.refit_colors(blob, _load_cloud(inp))
+            if a.color_affine or a.color_resid:
+                blob, _rec = codec.refit_colors(
+                    blob, _load_cloud(inp), resid_lam=a.color_resid,
+                    fit_affine=a.color_affine)
             dst = out_path(inp, ".upcc")
             with open(dst, "wb") as f:
                 f.write(blob)

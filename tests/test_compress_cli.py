@@ -138,3 +138,46 @@ def test_cli_color_affine(exp_dir, tmp_path):
     with pytest.raises(SystemExit):
         compress.main(["encode", src, fitted, "--experiment", exp_dir,
                        "--ladder", "0.5", "0.5", "--color_affine"])
+
+
+def test_cli_color_resid(exp_dir, tmp_path):
+    """--color_resid LAM attaches the residual enhancement layer; the
+    decoded PLY carries the corrected colors bit-exactly."""
+    from upcc_tpu.data.ply import read_ply, write_ply
+    from upcc_tpu.data.synthetic import surface_cloud
+
+    import compress
+
+    rng = np.random.default_rng(12)
+    xyz, rgb = surface_cloud(rng, extent=64, n_target=1200)
+    src = str(tmp_path / "in.ply")
+    write_ply(src, xyz, rgb)
+
+    plain = str(tmp_path / "plain.upcc")
+    enh = str(tmp_path / "enh.upcc")
+    compress.main(["encode", src, plain, "--experiment", exp_dir,
+                   "--q", "1.0", "1.0", "--block_size", "64"])
+    compress.main(["encode", src, enh, "--experiment", exp_dir,
+                   "--q", "1.0", "1.0", "--block_size", "64",
+                   "--color_resid", "12800"])
+    # the untrained fixture model's colors are far off: the layer engages
+    assert os.path.getsize(enh) > os.path.getsize(plain)
+
+    rec = str(tmp_path / "rec.ply")
+    compress.main(["decode", enh, rec, "--experiment", exp_dir])
+    rx, rc = read_ply(rec)
+    assert len(rx) > 0 and rc is not None
+    # corrected colors are closer to the source than the plain stream's
+    from upcc_tpu.codec.io import load_codec
+    from upcc_tpu.eval.metrics import pc_metrics
+    codec, _ = load_codec(exp_dir)
+    rec_plain = codec.decompress(open(plain, "rb").read())
+    pc = np.concatenate([xyz.astype(np.float64), rgb], axis=1)
+    rec_enh = np.concatenate([rx.astype(np.float64), rc], axis=1)
+    m0 = pc_metrics(pc, rec_plain, 64, with_d2=False)
+    m1 = pc_metrics(pc, rec_enh, 64, with_d2=False)
+    assert m1["sym_y_psnr"] > m0["sym_y_psnr"]
+
+    with pytest.raises(SystemExit):
+        compress.main(["encode", src, enh, "--experiment", exp_dir,
+                       "--ladder", "0.5", "0.5", "--color_resid", "100"])
