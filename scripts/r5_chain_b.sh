@@ -26,17 +26,17 @@ commit "vox10 11x11 protocol sweep with residual color layer: longdress"
 #    test.csv flushes after each sequence, commit loop follows the file
 if [ "$(left)" -gt 3000 ]; then
     timeout 14400 python -u evaluate.py --experiments CVPR_inverse_scaling \
-        --q_steps 11 --sequences loot redandblack soldier --no_renders \
+        --q_steps 9 --sequences loot redandblack soldier --no_renders \
         --append >> /tmp/r5_vox10.log 2>&1 &
     EV_PID=$!
     while kill -0 "$EV_PID" 2>/dev/null; do
         sleep 120
-        commit "vox10 11x11 protocol sweeps (incremental flush)"
+        commit "vox10 9x9 sweeps (incremental flush)"
         # abandon the batch if the hard end closes in; per-sequence rows
         # already flushed+committed survive
         if [ "$(left)" -lt 900 ]; then kill "$EV_PID" 2>/dev/null; fi
     done
-    commit "vox10 11x11 protocol sweeps with residual color layer"
+    commit "vox10 9x9 sweeps with residual color layer (loot, redandblack, soldier)"
 fi
 
 timeout 1200 python -u plot.py > /tmp/r5_plots1.log 2>&1
