@@ -140,6 +140,7 @@ def test_cli_color_affine(exp_dir, tmp_path):
                        "--ladder", "0.5", "0.5", "--color_affine"])
 
 
+@pytest.mark.slow
 def test_cli_color_resid(exp_dir, tmp_path):
     """--color_resid LAM attaches the residual enhancement layer; the
     decoded PLY carries the corrected colors bit-exactly."""

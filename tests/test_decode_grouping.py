@@ -6,6 +6,8 @@ Regression for the vox11 bench OOM: a 63-block group at block_size 512
 15.75 GB v5e chip.  Groups must split before DEC_GROUP_PTS.
 """
 
+import pytest
+
 from upcc_tpu.codec.codec import (DEC_GROUP_PTS, MAX_GROUP,
                                   _chunk_decode_groups)
 
@@ -102,6 +104,7 @@ def test_splits_on_level1_budget():
     assert len(_chunk_decode_groups(vox10)) == 1
 
 
+@pytest.mark.slow
 def test_threaded_group_map_byte_identity(monkeypatch):
     """The single-device two-thread _map_groups path (host entropy coding
     overlapped across groups) must produce byte-identical containers and
